@@ -1,0 +1,155 @@
+"""Config schema: a nested tree of expected types.
+
+Mirrors the reference's hand-written schema
+(``/root/reference/utils/config_schema.py:5-92``) and extends it with the
+TPU-specific groups this framework adds (``tpu``). Validation semantics
+match the reference's ``schema.Schema(...).validate`` usage: every key in
+the schema must be present with the right type; extra keys are errors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Union
+
+__all__ = ["CFG_SCHEMA", "validate", "SchemaError"]
+
+
+class SchemaError(ValueError):
+    pass
+
+
+_PATHS = {
+    "pretrained_model_path": str,
+    "base_path": str,
+    "logs": str,
+    "vocab_path": str,
+}
+
+_SPLIT_PATHS = {
+    "vqaDataset": str,
+    "questions": str,
+    "answers": str,
+    "imgs": str,
+    "processed_imgs": str,
+}
+
+_PROFILE = {
+    "paths": _PATHS,
+    "train_paths": _SPLIT_PATHS,
+    "val_paths": _SPLIT_PATHS,
+}
+
+# (int, float) pairs mean "number"; YAML parses 5e-4 as float but 1 as int.
+_NUMBER = (int, float)
+
+CFG_SCHEMA: Dict[str, Any] = {
+    "main": {
+        "experiment_name_prefix": str,
+        "seed": int,
+        "num_workers": int,
+        "use_full": bool,
+        "start_from_pretrained_model": bool,
+        "full": _PROFILE,
+        "small": _PROFILE,
+    },
+    "train": {
+        "text": {
+            # 'lstm' (reference parity) or 'transformer' (BASELINE config 5)
+            "encoder": str,
+            "question_features": int,
+            "embedding_features": int,
+            "dropout": float,
+            "num_lstm_layers": int,
+            "bidirectional": bool,
+            "num_heads": int,          # transformer variant only
+            "num_layers": int,         # transformer variant only
+        },
+        "image": {
+            "kernel_size": int,
+            "dropout": float,
+            "num_channels": list,
+            "stride": int,
+            "do_skip_connection": bool,  # kept for config parity; inert (ref dead code)
+        },
+        "attention": {
+            # 'single' (reference parity), 'stacked' (SAN), 'co' (co-attention)
+            "variant": str,
+            "hidden_dim": int,
+            "glimpses": int,
+            "do_option": str,
+            "dropout": float,
+        },
+        "classifier": {
+            "hidden_dim": int,
+            "dropout": float,
+        },
+        "max_answers": int,
+        "image_size": int,
+        "central_fraction": float,
+        "n_epochs_stop": int,
+        "num_epochs": int,
+        "batch_size": int,
+        "save_model": bool,
+        "lr": {
+            "lr_value": float,
+            "lr_decay": int,
+            "lr_gamma": float,
+            "lr_step_size": int,
+        },
+    },
+    "tpu": {
+        "compute_dtype": str,        # 'float32' | 'bfloat16'
+        "mesh": {
+            "data": int,             # -1 = all remaining devices
+            "model": int,
+        },
+        "remat": bool,
+        "prefetch_depth": int,
+        "use_pallas": bool,
+        "debug_nans": bool,
+        "profile_dir": str,          # '' disables the jax.profiler trace
+    },
+}
+
+
+def validate(
+    cfg: Dict[str, Any],
+    schema: Optional[Dict[str, Any]] = None,
+    path: str = "",
+) -> None:
+    """Recursively validate ``cfg`` against the schema tree.
+
+    Raises :class:`SchemaError` on missing keys, unexpected keys, or type
+    mismatches. ``float`` slots accept ints (YAML '0' for a 0.0 field).
+    """
+    schema = CFG_SCHEMA if schema is None else schema
+    missing = set(schema) - set(cfg)
+    extra = set(cfg) - set(schema)
+    if missing:
+        raise SchemaError(f"Missing config keys at '{path}': {sorted(missing)}")
+    if extra:
+        raise SchemaError(f"Unexpected config keys at '{path}': {sorted(extra)}")
+    for key, expected in schema.items():
+        value = cfg[key]
+        where = f"{path}.{key}" if path else key
+        if isinstance(expected, dict):
+            if not isinstance(value, dict):
+                raise SchemaError(f"'{where}' must be a mapping")
+            validate(value, expected, where)
+        elif expected is float:
+            if not isinstance(value, (int, float)) or isinstance(value, bool):
+                raise SchemaError(f"'{where}' must be a number, got {value!r}")
+        elif expected is int:
+            if not isinstance(value, int) or isinstance(value, bool):
+                raise SchemaError(f"'{where}' must be an int, got {value!r}")
+        elif expected is bool:
+            if not isinstance(value, bool):
+                raise SchemaError(f"'{where}' must be a bool, got {value!r}")
+        elif expected is list:
+            if not isinstance(value, list):
+                raise SchemaError(f"'{where}' must be a list, got {value!r}")
+        elif expected is str:
+            if not isinstance(value, str):
+                raise SchemaError(f"'{where}' must be a string, got {value!r}")
+        else:  # pragma: no cover - schema authoring error
+            raise SchemaError(f"Bad schema entry at '{where}': {expected!r}")

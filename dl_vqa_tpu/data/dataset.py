@@ -1,0 +1,259 @@
+"""VQA 2.0 dataset: eager numpy encodings with fixed shapes.
+
+Functional equivalent of the reference's ``VQA_dataset``
+(``/root/reference/preprocessing/data_preprocessing.py:14-176``) with a
+TPU-first representation: everything is materialized once as dense,
+fixed-shape numpy arrays (questions padded to the dataset's max question
+length, answers padded to the dataset's max number of unique answers), so
+batches can be sliced and shipped to the device with zero per-sample
+Python work.
+
+Preserved reference semantics:
+
+* integrity check: question/annotation alignment on ``question_id``,
+  ``image_id``, ``data_type``, ``data_subtype`` (ref ``:117-128``);
+* question encoding: zero-padded vector of vocab ids, id 0 = unknown/pad
+  (ref ``:142-152``);
+* answer encoding: unique 1-based vocab ids of the (up to 10) annotator
+  answers + their counts, via ``np.unique`` (sorted ids) (ref ``:154-165``);
+* ``answerable_only``: keep only samples with >= 1 in-vocab answer
+  (ref ``:130-140``);
+* ``num_tokens`` = len(question vocab) + 1 for the unknown token
+  (ref ``:101-103``);
+* images read from the h5 cache through an ``image_id -> row`` map built
+  from the cache's ``ids`` dataset (ref ``:105-115``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from dl_vqa_tpu.data import text as vqa_text
+
+__all__ = ["VQADataset", "encode_question", "encode_answers"]
+
+
+def encode_question(
+    tokens: List[str], vocab: Dict[str, int], max_len: int
+) -> Tuple[np.ndarray, int]:
+    """Encode one tokenized question to a zero-padded id vector + length."""
+    vec = np.zeros(max_len, dtype=np.int32)
+    for i, tok in enumerate(tokens):
+        vec[i] = vocab.get(tok, 0)
+    return vec, len(tokens)
+
+
+def encode_answers(
+    answers: List[str], vocab: Dict[str, int]
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Encode normalized answers to (unique 1-based ids, counts, n_unique)."""
+    in_vocab = [vocab[a] for a in answers if a in vocab]
+    if not in_vocab:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            0,
+        )
+    unique, counts = np.unique(in_vocab, return_counts=True)
+    return unique.astype(np.int64), counts.astype(np.int64), len(unique)
+
+
+class VQADataset:
+    """Dense-encoded VQA split.
+
+    Attributes (all fixed-shape numpy):
+      questions       int32 [N, Lmax]   zero-padded question token ids
+      question_lengths int32 [N]
+      answer_indices  int32 [N, Kmax]   1-based answer vocab ids, 0 = pad
+      answer_values   int32 [N, Kmax]   annotator counts, 0 = pad
+      answer_lengths  int32 [N]         number of unique in-vocab answers
+      image_ids       int64 [N]
+      h5_rows         int64 [N]         row of each sample's image in the cache
+    """
+
+    def __init__(
+        self,
+        data_paths: dict,
+        other_paths: dict,
+        logger=None,
+        answerable_only: bool = False,
+    ):
+        log = logger.write if logger is not None else (lambda *_: None)
+        base_path = other_paths["base_path"]
+
+        log("Opening files")
+        with open(os.path.join(base_path, data_paths["questions"])) as fd:
+            questions_json = json.load(fd)
+        with open(os.path.join(base_path, data_paths["answers"])) as fd:
+            answers_json = json.load(fd)
+        with open(other_paths["vocab_path"]) as fd:
+            vocab = json.load(fd)
+
+        log("Checking integrity")
+        self._check_integrity(questions_json, answers_json)
+
+        self.vocab = vocab
+        self.question_vocab = vocab["question"]
+        self.answer_vocab = vocab["answer"]
+        self.image_path = data_paths["processed_imgs"]
+        self.answerable_only = answerable_only
+
+        log("Preparing and encoding questions")
+        tokenized = list(vqa_text.prepare_questions(questions_json))
+        self.max_question_length = max(map(len, tokenized)) if tokenized else 0
+        n = len(tokenized)
+        self.questions = np.zeros((n, self.max_question_length), dtype=np.int32)
+        self.question_lengths = np.zeros(n, dtype=np.int32)
+        for i, toks in enumerate(tokenized):
+            vec, length = encode_question(
+                toks, self.question_vocab, self.max_question_length
+            )
+            self.questions[i] = vec
+            self.question_lengths[i] = length
+
+        log("Preparing and encoding answers")
+        encoded = [
+            encode_answers(a, self.answer_vocab)
+            for a in vqa_text.prepare_answers(answers_json)
+        ]
+        self.answer_lengths = np.array([e[2] for e in encoded], dtype=np.int32)
+        k_max = max(int(self.answer_lengths.max()), 1) if n else 1
+        self.answer_indices = np.zeros((n, k_max), dtype=np.int32)
+        self.answer_values = np.zeros((n, k_max), dtype=np.int32)
+        for i, (idx, val, k) in enumerate(encoded):
+            self.answer_indices[i, :k] = idx
+            self.answer_values[i, :k] = val
+
+        log("Indexing images")
+        self.image_ids = np.array(
+            [q["image_id"] for q in questions_json["questions"]], dtype=np.int64
+        )
+        self._image_id_to_row = self._build_image_row_map()
+        self.h5_rows = np.array(
+            [self._image_id_to_row[i] for i in self.image_ids.tolist()],
+            dtype=np.int64,
+        )
+
+        if answerable_only:
+            log("Filtering to answerable-only samples")
+            keep = np.nonzero(self.answer_lengths > 0)[0]
+            for name in (
+                "questions", "question_lengths", "answer_indices",
+                "answer_values", "answer_lengths", "image_ids", "h5_rows",
+            ):
+                setattr(self, name, getattr(self, name)[keep])
+
+        self._h5 = None  # lazy per-process handle (safe across forks)
+
+    # -- reference-compatible accessors ---------------------------------
+
+    @property
+    def num_tokens(self) -> int:
+        return len(self.question_vocab) + 1
+
+    def __len__(self) -> int:
+        return len(self.questions)
+
+    # -- internals -------------------------------------------------------
+
+    @staticmethod
+    def _check_integrity(questions_json: dict, answers_json: dict) -> None:
+        qs, anns = questions_json["questions"], answers_json["annotations"]
+        assert all(
+            q["question_id"] == a["question_id"] for q, a in zip(qs, anns)
+        ), "Questions not aligned with answers"
+        assert all(
+            q["image_id"] == a["image_id"] for q, a in zip(qs, anns)
+        ), "Image id of question and answer don't match"
+        assert questions_json["data_type"] == answers_json["data_type"], \
+            "Mismatched data types"
+        assert questions_json["data_subtype"] == answers_json["data_subtype"], \
+            "Mismatched data subtypes"
+
+    def _build_image_row_map(self) -> Dict[int, int]:
+        import h5py
+
+        with h5py.File(self.image_path, "r") as fd:
+            ids = fd["ids"][()]
+        return {int(img_id): row for row, img_id in enumerate(ids)}
+
+    def _h5_handle(self):
+        if self._h5 is None:
+            import h5py
+
+            self._h5 = h5py.File(self.image_path, "r")
+        return self._h5
+
+    # -- image access ------------------------------------------------------
+
+    def load_images_chw(self, sample_indices: np.ndarray) -> np.ndarray:
+        """Load images for the given SAMPLE indices as float32 [B,3,H,W]."""
+        feats = self._h5_handle()["features"]
+        rows = self.h5_rows[sample_indices]
+        # h5py fancy indexing needs sorted unique rows; gather then scatter.
+        order = np.argsort(rows, kind="stable")
+        sorted_rows = rows[order]
+        unique_rows, inverse = np.unique(sorted_rows, return_inverse=True)
+        loaded = feats[unique_rows.tolist()].astype(np.float32)
+        out = np.empty((len(rows),) + feats.shape[1:], dtype=np.float32)
+        out[order] = loaded[inverse]
+        return out
+
+    def load_images_nhwc(self, sample_indices: np.ndarray) -> np.ndarray:
+        """Load images as float32 [B,H,W,3] — the TPU-native layout."""
+        return np.ascontiguousarray(
+            self.load_images_chw(sample_indices).transpose(0, 2, 3, 1)
+        )
+
+    # -- persistence (replaces the reference's whole-object pickle) --------
+
+    _ARRAY_FIELDS = (
+        "questions", "question_lengths", "answer_indices", "answer_values",
+        "answer_lengths", "image_ids", "h5_rows",
+    )
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path if path.endswith(".npz") else path + ".npz",
+            meta=np.frombuffer(
+                json.dumps(
+                    {
+                        "vocab": self.vocab,
+                        "image_path": self.image_path,
+                        "answerable_only": self.answerable_only,
+                        "max_question_length": int(self.max_question_length),
+                    }
+                ).encode(),
+                dtype=np.uint8,
+            ),
+            **{f: getattr(self, f) for f in self._ARRAY_FIELDS},
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "VQADataset":
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        with np.load(path) as data:
+            obj = cls.__new__(cls)
+            meta = json.loads(bytes(data["meta"]).decode())
+            obj.vocab = meta["vocab"]
+            obj.question_vocab = obj.vocab["question"]
+            obj.answer_vocab = obj.vocab["answer"]
+            obj.image_path = meta["image_path"]
+            obj.answerable_only = meta["answerable_only"]
+            obj.max_question_length = meta["max_question_length"]
+            for f in cls._ARRAY_FIELDS:
+                setattr(obj, f, data[f])
+            obj._image_id_to_row = None
+            obj._h5 = None
+            return obj
+
+    @classmethod
+    def cache_path(cls, configured_path: str) -> str:
+        """Map the reference's ``*.pkl`` cache key to our npz file."""
+        root, _ = os.path.splitext(configured_path)
+        return root + ".npz"

@@ -1,0 +1,173 @@
+"""Synthetic VQA 2.0-format data generator.
+
+Stands in for the reference's ``small_data/`` mirror (its de-facto
+integration-test harness, ref ``/root/reference/config/config.yaml:32-49``):
+generates valid VQA-format question/annotation JSONs, COCO-named JPEGs,
+and optionally the h5 image cache, so the full pipeline can be exercised
+hermetically in tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["generate_vqa_split", "generate_coco_images", "make_synthetic_corpus"]
+
+_QUESTION_WORDS = [
+    "what", "is", "the", "color", "of", "cat", "dog", "how", "many",
+    "people", "are", "in", "picture", "on", "table", "wearing", "man",
+    "woman", "doing", "this", "a", "red", "ball", "there",
+]
+
+_ANSWERS = [
+    "yes", "no", "2", "red", "blue", "cat", "dog", "1", "3", "white",
+    "green", "frisbee", "skateboard", "0", "black", "brown", "tennis",
+    "pizza", "kitchen", "baseball",
+]
+
+
+def generate_vqa_split(
+    n_questions: int,
+    n_images: int,
+    seed: int = 0,
+    data_subtype: str = "train2014",
+) -> Tuple[dict, dict, List[int]]:
+    """Return (questions_json, annotations_json, image_ids)."""
+    rng = random.Random(seed)
+    image_ids = [1000 + i for i in range(n_images)]
+    questions, annotations = [], []
+    for qid in range(n_questions):
+        image_id = rng.choice(image_ids)
+        n_words = rng.randint(3, 9)
+        text = " ".join(rng.choice(_QUESTION_WORDS) for _ in range(n_words)) + "?"
+        questions.append(
+            {"question_id": qid, "image_id": image_id, "question": text}
+        )
+        main_answer = rng.choice(_ANSWERS)
+        answers = [
+            {
+                "answer": main_answer if rng.random() < 0.6 else rng.choice(_ANSWERS),
+                "answer_confidence": "yes",
+                "answer_id": k + 1,
+            }
+            for k in range(10)
+        ]
+        annotations.append(
+            {
+                "question_id": qid,
+                "image_id": image_id,
+                "multiple_choice_answer": main_answer,
+                "answers": answers,
+                "question_type": "none of the above",
+                "answer_type": "other",
+            }
+        )
+    questions_json = {
+        "info": {}, "task_type": "Open-Ended", "data_type": "mscoco",
+        "data_subtype": data_subtype, "license": {}, "questions": questions,
+    }
+    annotations_json = {
+        "info": {}, "data_type": "mscoco", "data_subtype": data_subtype,
+        "license": {}, "annotations": annotations,
+    }
+    return questions_json, annotations_json, image_ids
+
+
+def generate_coco_images(
+    image_dir: str,
+    image_ids: List[int],
+    size: Tuple[int, int] = (320, 240),
+    seed: int = 0,
+    data_subtype: str = "train2014",
+) -> None:
+    """Write random JPEGs with COCO filenames into ``image_dir``."""
+    from PIL import Image
+
+    os.makedirs(image_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for img_id in image_ids:
+        arr = rng.integers(0, 256, size=(size[1], size[0], 3), dtype=np.uint8)
+        name = f"COCO_{data_subtype}_{img_id:012d}.jpg"
+        Image.fromarray(arr).save(os.path.join(image_dir, name))
+
+
+def make_synthetic_corpus(
+    root: str,
+    n_train: int = 64,
+    n_val: int = 32,
+    n_images: int = 12,
+    image_size: int = 224,
+    central_fraction: float = 0.875,
+    max_answers: int = 20,
+    seed: int = 0,
+) -> Dict[str, str]:
+    """Build a complete miniature VQA corpus under ``root``.
+
+    Produces the exact on-disk artifacts the entry points expect:
+    question/annotation JSONs, image dirs, the h5 caches, and vocab.json.
+    Returns a dict of paths laid out like a config 'profile' group.
+    """
+    from dl_vqa_tpu.data import images as image_cache
+    from dl_vqa_tpu.data import vocab as vocab_mod
+
+    os.makedirs(root, exist_ok=True)
+    profile = {
+        "paths": {
+            "pretrained_model_path": os.path.join(root, "model.ckpt"),
+            "base_path": root,
+            "logs": os.path.join(root, "logs/"),
+            "vocab_path": os.path.join(root, "vocab.json"),
+        },
+        "train_paths": {
+            "vqaDataset": os.path.join(root, "vqaDataset_train.npz"),
+            "questions": "train_questions.json",
+            "answers": "train_annotations.json",
+            "imgs": "train2014",
+            "processed_imgs": os.path.join(root, "processed_train_images.h5"),
+        },
+        "val_paths": {
+            "vqaDataset": os.path.join(root, "vqaDataset_val.npz"),
+            "questions": "val_questions.json",
+            "answers": "val_annotations.json",
+            "imgs": "val2014",
+            "processed_imgs": os.path.join(root, "processed_val_images.h5"),
+        },
+    }
+
+    for split, n_q, subtype in (
+        ("train", n_train, "train2014"),
+        ("val", n_val, "val2014"),
+    ):
+        qs, anns, image_ids = generate_vqa_split(
+            n_q, n_images, seed=seed + (0 if split == "train" else 1),
+            data_subtype=subtype,
+        )
+        with open(os.path.join(root, f"{split}_questions.json"), "w") as fd:
+            json.dump(qs, fd)
+        with open(os.path.join(root, f"{split}_annotations.json"), "w") as fd:
+            json.dump(anns, fd)
+        generate_coco_images(
+            os.path.join(root, subtype), image_ids,
+            seed=seed, data_subtype=subtype,
+        )
+        image_cache.preprocess_images(
+            other_paths=profile["paths"],
+            data_paths=profile[f"{split}_paths"],
+            image_size=image_size,
+            central_fraction=central_fraction,
+            processed_path=profile[f"{split}_paths"]["processed_imgs"],
+            log=lambda *_: None,
+        )
+
+    vocab_mod.create_vocab(
+        data_base_path=root,
+        data_paths=profile["train_paths"],
+        vocab_path=profile["paths"]["vocab_path"],
+        max_answers=max_answers,
+    )
+    return profile
