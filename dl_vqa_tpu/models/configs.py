@@ -1,0 +1,117 @@
+"""Static (hashable) model configuration.
+
+Built from the ``train`` config group (same keys as the reference's
+``cfg['train']``, ref ``/root/reference/models/model.py:12-51``) into a
+frozen dataclass so it can be a jit-static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+__all__ = ["TextConfig", "ImageConfig", "AttentionConfig", "ClassifierConfig",
+           "ModelConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    encoder: str = "lstm"              # 'lstm' | 'transformer'
+    question_features: int = 1024
+    embedding_features: int = 300
+    dropout: float = 0.3
+    num_lstm_layers: int = 1
+    bidirectional: bool = True
+    num_heads: int = 8                 # transformer only
+    num_layers: int = 2                # transformer only
+
+    @property
+    def output_features(self) -> int:
+        if self.encoder == "transformer":
+            return self.question_features
+        return self.question_features * (2 if self.bidirectional else 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageConfig:
+    kernel_size: int = 3
+    dropout: float = 0.3
+    num_channels: Tuple[int, ...] = (3, 64, 128, 256)
+    stride: int = 1
+
+    @property
+    def output_channels(self) -> int:
+        return self.num_channels[-1]
+
+    def output_grid(self, image_size: int) -> int:
+        """Spatial grid side after the conv stack (VALID convs + 2x2 pools,
+        matching the reference's shape table at config.yaml:134-160)."""
+        size = image_size
+        for _ in range(len(self.num_channels) - 1):
+            size = (size - self.kernel_size) // self.stride + 1  # VALID conv
+            size = size // 2                                      # maxpool 2,2
+        return size
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionConfig:
+    variant: str = "single"            # 'single' | 'stacked' | 'co'
+    hidden_dim: int = 1024
+    glimpses: int = 2
+    do_option: str = "+"               # '*' | '+' | '|'
+    dropout: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifierConfig:
+    hidden_dim: int = 1024
+    dropout: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    text: TextConfig = TextConfig()
+    image: ImageConfig = ImageConfig()
+    attention: AttentionConfig = AttentionConfig()
+    classifier: ClassifierConfig = ClassifierConfig()
+    max_answers: int = 3000
+    image_size: int = 224
+    num_tokens: int = 15193            # question vocab size + 1; dataset-dependent
+
+    @classmethod
+    def from_cfg(cls, train_cfg: dict, num_tokens: int) -> "ModelConfig":
+        """Build from the ``train`` config group + the dataset's token count."""
+        t, i = train_cfg["text"], train_cfg["image"]
+        a, c = train_cfg["attention"], train_cfg["classifier"]
+        return cls(
+            text=TextConfig(
+                encoder=t.get("encoder", "lstm"),
+                question_features=t["question_features"],
+                embedding_features=t["embedding_features"],
+                dropout=t["dropout"],
+                num_lstm_layers=t["num_lstm_layers"],
+                bidirectional=t["bidirectional"],
+                num_heads=t.get("num_heads", 8),
+                num_layers=t.get("num_layers", 2),
+            ),
+            image=ImageConfig(
+                kernel_size=i["kernel_size"],
+                dropout=i["dropout"],
+                num_channels=tuple(i["num_channels"]),
+                stride=i["stride"],
+            ),
+            attention=AttentionConfig(
+                variant=a.get("variant", "single"),
+                hidden_dim=a["hidden_dim"],
+                glimpses=a["glimpses"],
+                do_option=a["do_option"],
+                dropout=a["dropout"],
+            ),
+            classifier=ClassifierConfig(
+                hidden_dim=c["hidden_dim"],
+                dropout=c["dropout"],
+            ),
+            max_answers=train_cfg["max_answers"],
+            image_size=train_cfg["image_size"],
+            num_tokens=num_tokens,
+        )

@@ -1,0 +1,290 @@
+"""VqaNet — "Show, Ask, Attend, and Answer" as a functional JAX model.
+
+Same computation as the reference top model
+(``/root/reference/models/model.py:7-67``) but TPU-idiomatic:
+
+* pure ``init(key, cfg) -> params`` / ``apply(params, cfg, ...) -> logits``
+  over a plain dict pytree (pjit/shard-friendly, direct torch import);
+* NHWC image layout end-to-end (TPU-native; the reference is NCHW);
+* VALID-padding convs + 2x2 maxpool blocks, L2 channel normalization
+  (+1e-12, ref ``model.py:56``);
+* question path: embedding (id 0 -> zero vector) -> dropout -> tanh ->
+  masked bi-LSTM, final CELL state per direction (ref ``model.py:164-166``);
+* attention: 1x1 conv (no bias) on v, linear on q, q tiled over the grid,
+  fused by ``do_option`` ('*' product / '+' sum / '|' channel concat),
+  relu, 1x1 conv -> glimpse logits (ref ``model.py:183-195``);
+* glimpse-wise spatial softmax pooling, concat, 2-layer MLP classifier
+  (ref ``model.py:198-221``).
+
+Mixed precision: matmuls/convs run in ``compute_dtype`` (bfloat16 on TPU),
+normalization/softmax/logits accumulate in float32; params stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dl_vqa_tpu.models import initializers as init_lib
+from dl_vqa_tpu.models.configs import ModelConfig
+from dl_vqa_tpu.ops.lstm import bilstm_final_cell
+
+__all__ = ["init", "apply", "param_count", "summary"]
+
+Params = Dict
+
+
+# ---------------------------------------------------------------- dropout
+
+def _dropout(x: jnp.ndarray, rate: float, train: bool,
+             rng: Optional[jax.Array]) -> jnp.ndarray:
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _site_rng(rng: Optional[jax.Array], site: int) -> Optional[jax.Array]:
+    return None if rng is None else jax.random.fold_in(rng, site)
+
+
+# ---------------------------------------------------------------- init
+
+def init(key: jax.Array, cfg: ModelConfig) -> Params:
+    """Initialize all parameters (fp32, torch-default distributions)."""
+    keys = jax.random.split(key, 16)
+    t, i, a, c = cfg.text, cfg.image, cfg.attention, cfg.classifier
+
+    params: Params = {"text": {}, "image": {}, "attention": {}, "classifier": {}}
+
+    # Text encoder
+    params["text"]["embedding"] = init_lib.embedding_params(
+        keys[0], cfg.num_tokens, t.embedding_features
+    )
+    if t.encoder == "lstm":
+        params["text"]["lstm_fwd"] = init_lib.lstm_params(
+            keys[1], t.embedding_features, t.question_features
+        )
+        if t.bidirectional:
+            params["text"]["lstm_bwd"] = init_lib.lstm_params(
+                keys[2], t.embedding_features, t.question_features
+            )
+    else:
+        raise NotImplementedError(f"text encoder {t.encoder!r}")
+
+    # Image encoder: len(num_channels)-1 conv blocks
+    for block in range(len(i.num_channels) - 1):
+        params["image"][f"conv{block}"] = init_lib.conv_params(
+            keys[3 + block], i.kernel_size,
+            i.num_channels[block], i.num_channels[block + 1],
+        )
+
+    # Attention fusion
+    v_features = i.output_channels
+    q_features = t.output_features
+    x_in = 2 * a.hidden_dim if a.do_option == "|" else a.hidden_dim
+    params["attention"]["v_conv"] = init_lib.conv_params(
+        keys[10], 1, v_features, a.hidden_dim, use_bias=False
+    )
+    params["attention"]["q_lin"] = init_lib.linear_params(
+        keys[11], q_features, a.hidden_dim
+    )
+    params["attention"]["x_conv"] = init_lib.conv_params(
+        keys[12], 1, x_in, a.glimpses
+    )
+
+    # Classifier
+    combined = a.glimpses * v_features + q_features
+    params["classifier"]["lin1"] = init_lib.linear_params(
+        keys[13], combined, c.hidden_dim
+    )
+    params["classifier"]["lin2"] = init_lib.linear_params(
+        keys[14], c.hidden_dim, cfg.max_answers
+    )
+    return params
+
+
+# ---------------------------------------------------------------- submodules
+
+def _conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
+            stride: int) -> jnp.ndarray:
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
+                  train: bool, rng, dtype) -> jnp.ndarray:
+    """Conv stack (conv->relu->maxpool per block, dropout at the end),
+    ref ``model.py:72-84``. Input/output NHWC."""
+    x = images.astype(dtype)
+    for block in range(len(cfg.image.num_channels) - 1):
+        p = params["image"][f"conv{block}"]
+        x = _conv2d(x, p["w"].astype(dtype), p["b"], cfg.image.stride)
+        x = jax.nn.relu(x).astype(dtype)
+        x = _maxpool2(x)
+    return _dropout(x, cfg.image.dropout, train, _site_rng(rng, 0))
+
+
+def text_encoder(params: Params, cfg: ModelConfig, questions: jnp.ndarray,
+                 lengths: jnp.ndarray, train: bool, rng, dtype) -> jnp.ndarray:
+    """Embed -> dropout -> tanh -> masked bi-LSTM final cell state,
+    ref ``model.py:134-166``. Returns [B, output_features] (fp32)."""
+    table = params["text"]["embedding"]
+    embedded = jnp.take(table, questions, axis=0)
+    # id 0 is <unknown>/pad: torch's padding_idx keeps that row at zero.
+    embedded = embedded * (questions > 0)[..., None]
+    embedded = _dropout(embedded, cfg.text.dropout, train, _site_rng(rng, 1))
+    embedded = jnp.tanh(embedded).astype(dtype)
+    if cfg.text.bidirectional:
+        return bilstm_final_cell(
+            embedded, lengths,
+            params["text"]["lstm_fwd"], params["text"]["lstm_bwd"],
+        )
+    from dl_vqa_tpu.ops.lstm import lstm_scan
+
+    _, c_final = lstm_scan(embedded, lengths, params["text"]["lstm_fwd"])
+    return c_final
+
+
+def attention_logits(params: Params, cfg: ModelConfig, v: jnp.ndarray,
+                     q: jnp.ndarray, train: bool, rng, dtype) -> jnp.ndarray:
+    """Glimpse attention logits [B, H, W, G], ref ``model.py:183-195``."""
+    a = cfg.attention
+    pa = params["attention"]
+    v_in = _dropout(v, a.dropout, train, _site_rng(rng, 2)).astype(dtype)
+    # 1x1 conv == per-pixel matmul over channels.
+    v_proj = jnp.einsum(
+        "bhwc,cd->bhwd", v_in, pa["v_conv"]["w"][0, 0].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    q_in = _dropout(q, a.dropout, train, _site_rng(rng, 3)).astype(dtype)
+    q_proj = (
+        jnp.dot(q_in, pa["q_lin"]["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+        + pa["q_lin"]["b"]
+    )
+    q_tiled = q_proj[:, None, None, :]  # broadcast over the spatial grid
+    if a.do_option == "*":
+        fused = jax.nn.relu(v_proj * q_tiled)
+    elif a.do_option == "+":
+        fused = jax.nn.relu(v_proj + q_tiled)
+    elif a.do_option == "|":
+        fused = jax.nn.relu(
+            jnp.concatenate(
+                [v_proj, jnp.broadcast_to(q_tiled, v_proj.shape)], axis=-1
+            )
+        )
+    else:
+        raise ValueError(f"Unknown do_option {a.do_option!r}")
+    fused = _dropout(fused, a.dropout, train, _site_rng(rng, 4)).astype(dtype)
+    return (
+        jnp.einsum("bhwc,cg->bhwg", fused, pa["x_conv"]["w"][0, 0].astype(dtype),
+                   preferred_element_type=jnp.float32)
+        + pa["x_conv"]["b"]
+    )
+
+
+def attention_pool(v: jnp.ndarray, att: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over spatial positions per glimpse, weighted feature sum,
+    glimpse concat -> [B, G*C] (ref ``model.py:208-221``)."""
+    batch, h, w, channels = v.shape
+    glimpses = att.shape[-1]
+    v_flat = v.reshape(batch, h * w, channels).astype(jnp.float32)
+    att_flat = att.reshape(batch, h * w, glimpses).astype(jnp.float32)
+    weights = jax.nn.softmax(att_flat, axis=1)
+    pooled = jnp.einsum("bsg,bsc->bgc", weights, v_flat,
+                        preferred_element_type=jnp.float32)
+    return pooled.reshape(batch, glimpses * channels)
+
+
+def classifier(params: Params, cfg: ModelConfig, x: jnp.ndarray,
+               train: bool, rng, dtype) -> jnp.ndarray:
+    """drop -> lin -> relu -> drop -> lin (ref ``model.py:198-205``)."""
+    c = cfg.classifier
+    p = params["classifier"]
+    x = _dropout(x, c.dropout, train, _site_rng(rng, 5)).astype(dtype)
+    x = jax.nn.relu(
+        jnp.dot(x, p["lin1"]["w"].astype(dtype),
+                preferred_element_type=jnp.float32) + p["lin1"]["b"]
+    )
+    x = _dropout(x, c.dropout, train, _site_rng(rng, 6)).astype(dtype)
+    return (
+        jnp.dot(x, p["lin2"]["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+        + p["lin2"]["b"]
+    )
+
+
+# ---------------------------------------------------------------- top level
+
+def apply(
+    params: Params,
+    cfg: ModelConfig,
+    images: jnp.ndarray,     # [B, H, W, 3] float (NHWC)
+    questions: jnp.ndarray,  # [B, T] int
+    lengths: jnp.ndarray,    # [B] int
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Forward pass -> answer logits [B, max_answers] (fp32).
+
+    Mirrors ref ``model.py:53-67``: encode image, L2-normalize channels,
+    encode question, attend, pool, concat [v, q], classify.
+    """
+    if train and rng is None:
+        raise ValueError("train=True requires a dropout rng")
+
+    v = image_encoder(params, cfg, images, train, rng, compute_dtype)
+    v = v.astype(jnp.float32)
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+
+    q = text_encoder(params, cfg, questions, lengths, train, rng,
+                     compute_dtype).astype(jnp.float32)
+
+    att = attention_logits(params, cfg, v, q, train, rng, compute_dtype)
+    pooled = attention_pool(v, att)
+
+    combined = jnp.concatenate([pooled, q], axis=1)
+    return classifier(params, cfg, combined, train, rng, compute_dtype)
+
+
+# ---------------------------------------------------------------- reporting
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def summary(params: Params) -> str:
+    """Per-subnet parameter counts (the reference prints the same split,
+    ref ``main_utils.py:29-39``)."""
+    parts = {
+        name: sum(x.size for x in jax.tree_util.tree_leaves(sub))
+        for name, sub in params.items()
+    }
+    total = sum(parts.values())
+    detail = ", ".join(
+        f"{n.capitalize()}: {c}" for n, c in sorted(parts.items())
+    )
+    return f"Total params: {total} ({detail})"
