@@ -1,0 +1,119 @@
+"""Host input pipeline: fixed-shape batches with device prefetch.
+
+Replaces the reference's ``DataLoader(num_workers=5, pin_memory=True)``
+(``/root/reference/main.py:122-132``) with a TPU-appropriate design:
+
+* every batch has the SAME shape (the final partial batch is padded and
+  carries a ``mask``), so the jitted step compiles once;
+* images are gathered from the h5 cache per batch on the host (NHWC) —
+  h5 reads for the next batch overlap device compute via a background
+  prefetch thread;
+* ``device_put`` with an explicit sharding lands each batch directly in
+  its data-parallel layout (no gather-then-scatter).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from dl_vqa_tpu.data.dataset import VQADataset
+
+__all__ = ["Batcher", "prefetch_to_device"]
+
+
+class Batcher:
+    """Iterate fixed-shape numpy batches over a :class:`VQADataset`."""
+
+    def __init__(
+        self,
+        dataset: VQADataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        load_images: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.load_images = load_images
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return -(-len(self.dataset) // self.batch_size)  # ceil
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            real = len(idx)
+            if real < bs:  # pad final batch to the static shape
+                idx = np.concatenate([idx, np.repeat(idx[-1], bs - real)])
+            batch = {
+                "questions": self.dataset.questions[idx],
+                "lengths": self.dataset.question_lengths[idx],
+                "answer_indices": self.dataset.answer_indices[idx],
+                "answer_values": self.dataset.answer_values[idx],
+                "mask": np.arange(bs) < real,
+            }
+            if self.load_images:
+                batch["images"] = self.dataset.load_images_nhwc(idx)
+            yield batch
+
+
+def prefetch_to_device(
+    iterator,
+    sharding=None,
+    depth: int = 2,
+):
+    """Wrap a host batch iterator with a background thread that stages
+    ``depth`` batches ahead onto the device (double buffering by default).
+
+    ``sharding`` may be a single sharding (applied to every array) or a
+    dict keyed like the batch.
+    """
+    if depth < 1:
+        for batch in iterator:
+            yield _put(batch, sharding)
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error_holder = []
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(_put(batch, sharding))
+        except BaseException as e:  # propagate into the consumer
+            error_holder.append(e)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error_holder:
+                raise error_holder[0]
+            return
+        yield item
+
+
+def _put(batch: Dict[str, np.ndarray], sharding) -> Dict:
+    if sharding is None:
+        return jax.device_put(batch)
+    if isinstance(sharding, dict):
+        return {k: jax.device_put(v, sharding.get(k)) for k, v in batch.items()}
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}

@@ -1,0 +1,10 @@
+"""SPMD parallelism: device meshes and sharding rules."""
+
+from dl_vqa_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated"]

@@ -1,0 +1,92 @@
+"""Device mesh construction and sharding rules.
+
+The reference is single-GPU (``CUDA_VISIBLE_DEVICES="0"``,
+``/root/reference/main.py:23``) with no distributed backend; scale-out here
+is new capability, built the TPU way (SURVEY.md §2 'Parallelism
+strategies'): a 2-D ``jax.sharding.Mesh`` with axes
+
+* ``data``  — batch sharding (data parallelism; gradient all-reduce is
+  inserted by the XLA SPMD partitioner and rides ICI);
+* ``model`` — tensor parallelism for the wide layers (megatron-style
+  column/row split of the classifier MLP, vocab-sharded embedding).
+
+With ``model=1`` this degenerates to pure DP; with one device it is a
+no-op. DCN/multi-slice is out of scope at this model size but the axis
+names compose with a future outer mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated"]
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh. ``data=-1`` uses all devices left
+    after the model axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if model < 1:
+        model = 1
+    if data == -1:
+        data = len(devices) // model
+    n = data * model
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} needs {n} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _spec_for(path: str, leaf) -> P:
+    """Tensor-parallel placement rules by parameter path.
+
+    Megatron split of the classifier MLP: lin1 column-parallel (out dim on
+    'model'), lin2 row-parallel (in dim on 'model'; XLA inserts the psum).
+    The embedding table shards its vocab rows. Attention projections are
+    column-split on their hidden dim. Everything else (LSTM, convs,
+    biases of row-parallel layers) is replicated — they are small.
+    """
+    if "classifier/lin1/w" in path:
+        return P(None, "model")
+    if "classifier/lin1/b" in path:
+        return P("model")
+    if "classifier/lin2/w" in path:
+        return P("model", None)
+    if "text/embedding" in path:
+        return P("model", None)
+    if "attention/q_lin/w" in path or "attention/v_conv/w" in path:
+        # 1x1 conv w is [1,1,in,out]; linear w is [in,out] — both split out.
+        return P(*([None] * (leaf.ndim - 1)), "model")
+    if "attention/q_lin/b" in path:
+        return P("model")
+    return P()
+
+
+def param_shardings(params: Dict, mesh: Mesh):
+    """A NamedSharding pytree matching ``params``."""
+
+    def walk(tree, prefix):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{prefix}/{k}") for k, v in tree.items()}
+        return NamedSharding(mesh, _spec_for(prefix, tree))
+
+    return walk(params, "")

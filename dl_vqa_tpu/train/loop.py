@@ -1,0 +1,174 @@
+"""Epoch-level training loop.
+
+Control flow mirrors the reference trainer (``/root/reference/train.py:
+38-141``) — per-epoch train pass, eval pass, TensorBoard scalars,
+best-model checkpointing, early stop after ``n_epochs_stop`` stagnant
+epochs once ``epoch > 3`` — while the per-batch work runs as one fused
+jitted step on device.
+
+Metric accounting preserved exactly:
+* train/eval loss = mean of per-batch losses (each batch-mean'd);
+* score = 100 * sum(per-sample scores) / len(dataset).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl_vqa_tpu.data.pipeline import Batcher, prefetch_to_device
+from dl_vqa_tpu.models.configs import ModelConfig
+from dl_vqa_tpu.train.state import TrainState, create_train_state
+from dl_vqa_tpu.train.steps import make_eval_step, make_optimizer, make_train_step
+
+__all__ = ["TrainParams", "train", "evaluate", "get_metrics"]
+
+
+@dataclasses.dataclass
+class TrainParams:
+    """Flat hyperparameter view of ``cfg['train']`` (ref
+    ``utils/train_utils.py:54-90``; lr_decay/lr_gamma/lr_step_size carried
+    for config parity but unused — the reference's StepLR is dead code)."""
+
+    n_epochs_stop: int
+    num_epochs: int
+    lr: float
+    lr_decay: float
+    lr_gamma: float
+    lr_step_size: int
+    save_model: bool
+    max_answers: int
+
+    @classmethod
+    def from_cfg(cls, cfg: Dict) -> "TrainParams":
+        t = cfg["train"]
+        return cls(
+            n_epochs_stop=t["n_epochs_stop"],
+            num_epochs=t["num_epochs"],
+            lr=t["lr"]["lr_value"],
+            lr_decay=t["lr"]["lr_decay"],
+            lr_gamma=t["lr"]["lr_gamma"],
+            lr_step_size=t["lr"]["lr_step_size"],
+            save_model=t["save_model"],
+            max_answers=t["max_answers"],
+        )
+
+
+def get_metrics(best_eval_score: float, eval_score: float,
+                train_loss: float) -> Dict[str, float]:
+    return {
+        "Metrics/BestAccuracy": best_eval_score,
+        "Metrics/LastAccuracy": eval_score,
+        "Metrics/LastLoss": train_loss,
+    }
+
+
+def evaluate(eval_step, params, batcher: Batcher, sharding=None,
+             prefetch_depth: int = 2):
+    """Full eval pass -> (score%, mean loss). Only scalars cross to host."""
+    n_batches = len(batcher)
+    n_samples = len(batcher.dataset)
+    loss_total, score_total = 0.0, 0.0
+    for batch in prefetch_to_device(iter(batcher), sharding, prefetch_depth):
+        loss, score = eval_step(params, batch)
+        loss_total += float(loss)
+        score_total += float(score)
+    return (
+        score_total / max(n_samples, 1) * 100.0,
+        loss_total / max(n_batches, 1),
+    )
+
+
+def train(
+    model_cfg: ModelConfig,
+    params: Dict,
+    train_batcher: Batcher,
+    eval_batcher: Batcher,
+    train_params: TrainParams,
+    logger,
+    opt_restore_path: Optional[str] = None,
+    compute_dtype=jnp.bfloat16,
+    seed: int = 1,
+    batch_sharding=None,
+    state_sharding=None,
+    prefetch_depth: int = 2,
+) -> Dict[str, float]:
+    """Train to convergence / early stop; returns the reference's metrics
+    dict (``Metrics/BestAccuracy`` etc.)."""
+    tx = make_optimizer(train_params.lr)
+    state = create_train_state(params, tx)
+    if opt_restore_path:
+        from dl_vqa_tpu.utils.checkpoint import restore_state
+
+        state, restored_epoch = restore_state(state, opt_restore_path)
+        logger.write(f"Restored full train state, epoch: {restored_epoch}")
+
+    train_step = make_train_step(model_cfg, tx, compute_dtype)
+    eval_step = make_eval_step(model_cfg, compute_dtype)
+    rng = jax.random.PRNGKey(seed)
+
+    best_eval_score = 0.0
+    epochs_no_improve = 0
+    metrics: Dict[str, float] = {}
+
+    for epoch in range(train_params.num_epochs):
+        t0 = time.time()
+        n_batches = len(train_batcher)
+        n_samples = len(train_batcher.dataset)
+        loss_total, score_total = 0.0, 0.0
+
+        for batch in prefetch_to_device(
+            iter(train_batcher), batch_sharding, prefetch_depth
+        ):
+            state, step_metrics = train_step(state, batch, rng)
+            loss_total += float(step_metrics["loss"])
+            score_total += float(step_metrics["score"])
+
+        train_loss = loss_total / max(n_batches, 1)
+        train_score = score_total / max(n_samples, 1) * 100.0
+
+        eval_score, eval_loss = evaluate(
+            eval_step, state.params, eval_batcher, batch_sharding,
+            prefetch_depth,
+        )
+
+        logger.write_epoch_statistics(
+            epoch=epoch, epoch_time=time.time() - t0, train_loss=train_loss,
+            norm=0, train_score=train_score, eval_score=eval_score,
+        )
+        logger.report_scalars(
+            {
+                "Accuracy/Train": train_score,
+                "Accuracy/Validation": eval_score,
+                "Loss/Train": train_loss,
+                "Loss/Validation": eval_loss,
+            },
+            epoch,
+        )
+        logger.report_scalars_same_plot(
+            {
+                "Accuracy": {"Train": train_score, "Validation": eval_score},
+                "Loss": {"Train": train_loss, "Validation": eval_loss},
+            },
+            epoch,
+        )
+
+        if eval_score > best_eval_score:
+            epochs_no_improve = 0
+            best_eval_score = eval_score
+            if train_params.save_model:
+                logger.save_model(state, epoch, model_cfg)
+        else:
+            epochs_no_improve += 1
+
+        metrics = get_metrics(best_eval_score, eval_score, train_loss)
+        if epoch > 3 and epochs_no_improve == train_params.n_epochs_stop:
+            logger.write("Early stopping!")
+            return metrics
+
+    return metrics

@@ -1,0 +1,124 @@
+"""Jitted train / eval steps.
+
+One XLA program per step — forward, soft-CE loss, backward, and the Adam
+update are fused by the compiler (BASELINE config 4), with the VQA metric
+computed on device. This removes every per-batch host sync the reference
+pays (numpy loss gather ``train.py:195-206``, python-loop metric
+``train_utils.py:12-25``).
+
+LR schedule preserved exactly: ``lr * 0.5 ** (iteration / 50000)``
+applied per iteration (ref ``train.py:31-35``), Adam with torch-default
+betas/eps (ref ``train.py:55``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dl_vqa_tpu.models import vqa
+from dl_vqa_tpu.models.configs import ModelConfig
+from dl_vqa_tpu.ops.vqa_metrics import soft_cross_entropy, vqa_accuracy_sum
+from dl_vqa_tpu.train.state import TrainState
+
+__all__ = ["make_optimizer", "make_train_step", "make_eval_step", "lr_schedule"]
+
+LR_HALFLIFE = 50_000.0
+
+
+def lr_schedule(initial_lr: float) -> Callable:
+    """The reference's per-iteration halving law (train.py:31-35)."""
+
+    def schedule(count):
+        return initial_lr * 0.5 ** (count.astype(jnp.float32) / LR_HALFLIFE)
+
+    return schedule
+
+
+def make_optimizer(initial_lr: float) -> optax.GradientTransformation:
+    return optax.adam(
+        learning_rate=lr_schedule(initial_lr), b1=0.9, b2=0.999, eps=1e-8
+    )
+
+
+def _forward_loss(
+    params: Dict,
+    cfg: ModelConfig,
+    batch: Dict,
+    train: bool,
+    rng: Optional[jax.Array],
+    compute_dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    logits = vqa.apply(
+        params, cfg,
+        batch["images"], batch["questions"], batch["lengths"],
+        train=train, rng=rng, compute_dtype=compute_dtype,
+    )
+    mask = batch.get("mask")
+    loss = soft_cross_entropy(
+        logits, batch["answer_indices"], batch["answer_values"], mask
+    )
+    score = vqa_accuracy_sum(
+        logits, batch["answer_indices"], batch["answer_values"], mask
+    )
+    return loss, score
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    tx: optax.GradientTransformation,
+    compute_dtype=jnp.bfloat16,
+    in_shardings=None,
+    out_shardings=None,
+):
+    """Build the jitted fused train step.
+
+    ``train_step(state, batch, rng) -> (state, metrics)``; the state is
+    donated so the update happens in place on device.
+    """
+
+    def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return _forward_loss(
+                params, cfg, batch, True, step_rng, compute_dtype
+            )
+
+        (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, {"loss": loss, "score": score}
+
+    kwargs = {}
+    if in_shardings is not None:
+        kwargs["in_shardings"] = in_shardings
+    if out_shardings is not None:
+        kwargs["out_shardings"] = out_shardings
+    return jax.jit(step_fn, donate_argnums=(0,), **kwargs)
+
+
+def make_eval_step(
+    cfg: ModelConfig,
+    compute_dtype=jnp.bfloat16,
+    in_shardings=None,
+):
+    """Build the jitted eval step: ``eval_step(params, batch) -> (loss,
+    score_sum)`` — only two scalars leave the device per batch."""
+
+    def step_fn(params: Dict, batch: Dict):
+        return _forward_loss(params, cfg, batch, False, None, compute_dtype)
+
+    kwargs = {}
+    if in_shardings is not None:
+        kwargs["in_shardings"] = in_shardings
+    return jax.jit(step_fn, **kwargs)

@@ -1,0 +1,125 @@
+"""Checkpoint save / restore.
+
+Replaces the reference's ``torch.save({'epoch', 'model_state',
+'optimizer_state'})`` (``/root/reference/utils/train_logger.py:95-112``)
+with an npz-based pytree checkpoint (host-portable, no framework pickle),
+plus interop:
+
+* ``load_params`` transparently reads a reference ``model.pth`` (via
+  :mod:`dl_vqa_tpu.utils.torch_import`) when pointed at one — this is the
+  warm-start / accuracy-parity path (ref ``main.py:108-113``,
+  ``evaluate_vqa.py:73-75``);
+* full ``TrainState`` (params + Adam moments + step) round-trips for
+  step-accurate resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "load_checkpoint", "load_params", "restore_state"]
+
+_SEP = "|"
+
+
+def _flatten(tree: Any):
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    flat = {}
+    for path, leaf in leaves_with_paths:
+        key = _SEP.join(_path_str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_str(entry) -> str:
+    if hasattr(entry, "key"):
+        return str(entry.key)
+    if hasattr(entry, "idx"):
+        return f"#{entry.idx}"
+    if hasattr(entry, "name"):
+        return str(entry.name)
+    return str(entry)
+
+
+def save_checkpoint(path: str, state, epoch: Optional[int] = None,
+                    model_cfg=None) -> None:
+    """Save a TrainState (or bare params tree) to ``path`` (npz)."""
+    payload = _flatten(state)
+    meta = {"epoch": epoch}
+    if model_cfg is not None:
+        import dataclasses
+
+        meta["model_cfg"] = dataclasses.asdict(model_cfg)
+    payload["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(path, **payload)
+    # np.savez appends .npz; normalize to the requested name.
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        os.replace(path + ".npz", path)
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
+    """Load the flat array dict + meta from an npz checkpoint."""
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files if k != "__meta__"}
+        meta = (
+            json.loads(bytes(data["__meta__"]).decode())
+            if "__meta__" in data.files
+            else {}
+        )
+    return flat, meta
+
+
+def _unflatten_into(template: Any, flat: Dict[str, np.ndarray]) -> Any:
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path, leaf in leaves_with_paths:
+        key = _SEP.join(_path_str(p) for p in path)
+        if key not in flat:
+            raise KeyError(f"Checkpoint missing leaf {key!r}")
+        value = flat[key]
+        if tuple(value.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"Shape mismatch for {key!r}: checkpoint {value.shape} vs "
+                f"model {np.shape(leaf)}"
+            )
+        new_leaves.append(value)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def restore_state(template_state, path: str):
+    """Restore a full TrainState into the structure of ``template_state``.
+    Returns (state, epoch)."""
+    flat, meta = load_checkpoint(path)
+    return _unflatten_into(template_state, flat), meta.get("epoch")
+
+
+def load_params(path: str, params_template: Optional[Dict] = None) -> Dict:
+    """Load model params only. Accepts our npz checkpoints (full state or
+    bare params) and reference ``.pth`` torch checkpoints."""
+    if path.endswith((".pth", ".pt")):
+        from dl_vqa_tpu.utils.torch_import import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)["params"]
+    flat, _ = load_checkpoint(path)
+    # Keep only the params subtree when given a full TrainState dump.
+    param_keys = {k: v for k, v in flat.items() if k.startswith("params" + _SEP)}
+    if param_keys:
+        flat = {k[len("params" + _SEP):]: v for k, v in param_keys.items()}
+    if params_template is not None:
+        return _unflatten_into(params_template, flat)
+    # Rebuild a nested dict from flat keys.
+    tree: Dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split(_SEP)
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree

@@ -1,0 +1,122 @@
+"""Train logger: console + file + TensorBoard + checkpointing.
+
+Same observable surface as the reference's ``TrainLogger``
+(``/root/reference/utils/train_logger.py:18-195``): timestamped experiment
+dir under ``logs_dir``, ``write``/``report_scalars``/
+``report_scalars_same_plot``/``report_metrics_hyper_params``/
+``write_epoch_statistics``/``save_model``, and identical scalar tag names
+(``Accuracy/Train`` etc.) so existing dashboards carry over. TensorBoard
+goes through ``tensorboardX`` when available and degrades to a no-op
+otherwise.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from datetime import datetime
+from typing import Dict, Optional
+
+__all__ = ["TrainLogger"]
+
+
+class _NoOpWriter:
+    def add_scalar(self, *a, **k): pass
+    def add_scalars(self, *a, **k): pass
+    def add_hparams(self, *a, **k): pass
+    def flush(self): pass
+    def close(self): pass
+
+
+class TrainLogger:
+    def __init__(self, exp_name_prefix: str = "", logs_dir: str = "logs"):
+        os.makedirs(logs_dir, exist_ok=True)
+        now = datetime.now()
+        stamp = f"{now.month}_{now.day}_{now.hour}_{now.minute}_{now.second}"
+        self.exp_name = f"{exp_name_prefix}_{stamp}"
+        self.exp_dir = os.path.join(logs_dir, self.exp_name)
+        os.makedirs(self.exp_dir, exist_ok=True)
+
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tensorboard_writer = SummaryWriter(
+                os.path.join(logs_dir, "tensorboard", self.exp_name)
+            )
+        except Exception:
+            self.tensorboard_writer = _NoOpWriter()
+
+        self.logger = self._init_logger(self.exp_dir, self.exp_name)
+
+    # ----------------------------------------------------------- text
+
+    def write(self, text: str, epoch: Optional[int] = None,
+              severity: str = "info") -> None:
+        log = f"(EPOCH {epoch}) {text}" if epoch is not None else str(text)
+        if severity == "warning":
+            self.logger.warning(log)
+        else:
+            self.logger.info(log)
+
+    def write_epoch_statistics(self, epoch: int, epoch_time: float,
+                               train_loss: float, norm: float,
+                               train_score: float, eval_score: float) -> None:
+        self.write(
+            "Time: %.1f, Gradient norm: %.1f, Train loss: %.4f, "
+            "Train Score: %.4f, Val score: %.4f"
+            % (epoch_time, norm, train_loss, train_score, eval_score),
+            epoch,
+        )
+
+    # ----------------------------------------------------------- scalars
+
+    def report_scalar(self, tag: str, value: float, step: int) -> None:
+        self.tensorboard_writer.add_scalar(tag, value, step)
+
+    def report_scalars(self, scalars: Dict[str, float], epoch: int) -> None:
+        for tag, value in scalars.items():
+            self.report_scalar(tag, value, epoch)
+
+    def report_scalar_same_plot(self, tag: str, values: Dict[str, float],
+                                step: int) -> None:
+        self.tensorboard_writer.add_scalars(tag, values, step)
+
+    def report_scalars_same_plot(self, scalars: Dict[str, Dict[str, float]],
+                                 epoch: int) -> None:
+        for tag, values in scalars.items():
+            self.report_scalar_same_plot(tag, values, epoch)
+
+    def report_metrics_hyper_params(self, hyper_params: Dict,
+                                    metrics: Dict) -> None:
+        self.tensorboard_writer.add_hparams(hyper_params, metrics)
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save_model(self, state, epoch: int, model_cfg=None) -> str:
+        """Save the best-model checkpoint into the experiment dir
+        (best-eval-gated by the train loop, like ref train.py:129-133)."""
+        from dl_vqa_tpu.utils import checkpoint as ckpt
+
+        path = os.path.join(self.exp_dir, "model.ckpt")
+        self.write(f"Saving model to {path}")
+        ckpt.save_checkpoint(path, state, epoch=epoch, model_cfg=model_cfg)
+        return path
+
+    # ----------------------------------------------------------- internals
+
+    @staticmethod
+    def _init_logger(exp_dir: str, exp_name: str) -> logging.Logger:
+        logger = logging.getLogger(f"TRAIN.{exp_name}")
+        logger.setLevel(logging.INFO)
+        logger.propagate = False
+        formatter = logging.Formatter("[%(asctime)s] [%(name)s] - %(message)s")
+        if not logger.handlers:
+            console = logging.StreamHandler()
+            console.setFormatter(formatter)
+            logger.addHandler(console)
+            fileh = logging.FileHandler(
+                os.path.join(exp_dir, f"{exp_name}.log")
+            )
+            fileh.setFormatter(formatter)
+            logger.addHandler(fileh)
+        return logger

@@ -1,0 +1,95 @@
+"""Evaluation entry point.
+
+Counterpart of the reference's ``evaluate_vqa.py``
+(``/root/reference/evaluate_vqa.py:21-91``): compose the eval config,
+rebuild vocab / val image cache if missing, load the val dataset, load the
+checkpoint (ours or a reference ``model.pth``), run the full eval pass,
+and return the VQA accuracy rounded to 3 decimals.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def evaluate_hw2(overrides=()) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from dl_vqa_tpu import config as config_mod
+    from dl_vqa_tpu.data import vocab as vocab_mod
+    from dl_vqa_tpu.data.dataset import VQADataset
+    from dl_vqa_tpu.data.images import preprocess_images
+    from dl_vqa_tpu.data.pipeline import Batcher
+    from dl_vqa_tpu.models import ModelConfig, vqa
+    from dl_vqa_tpu.parallel import batch_sharding as make_batch_sharding
+    from dl_vqa_tpu.parallel import make_mesh
+    from dl_vqa_tpu.train import make_eval_step
+    from dl_vqa_tpu.train.loop import evaluate
+    from dl_vqa_tpu.utils import misc
+    from dl_vqa_tpu.utils.checkpoint import load_params
+    from dl_vqa_tpu.utils.logger import TrainLogger
+
+    cfg = config_mod.compose("config_eval", overrides=list(overrides))
+    print(config_mod.to_yaml(cfg))
+    profile = cfg["main"]["full" if cfg["main"]["use_full"] else "small"]
+
+    logger = TrainLogger(
+        exp_name_prefix=cfg["main"]["experiment_name_prefix"],
+        logs_dir=profile["paths"]["logs"],
+    )
+    misc.set_seed(cfg["main"]["seed"])
+
+    vocab_path = profile["paths"]["vocab_path"]
+    if not os.path.exists(vocab_path):
+        vocab_mod.create_vocab(
+            data_base_path=profile["paths"]["base_path"],
+            data_paths=profile["train_paths"],
+            vocab_path=vocab_path,
+            max_answers=cfg["train"]["max_answers"],
+        )
+
+    val_imgs = profile["val_paths"]["processed_imgs"]
+    if not os.path.exists(val_imgs):
+        preprocess_images(
+            other_paths=profile["paths"],
+            data_paths=profile["val_paths"],
+            image_size=cfg["train"]["image_size"],
+            central_fraction=cfg["train"]["central_fraction"],
+            processed_path=val_imgs,
+            log=logger.write,
+        )
+
+    cache = VQADataset.cache_path(profile["val_paths"]["vqaDataset"])
+    if os.path.exists(cache):
+        val_dataset = VQADataset.load(cache)
+    else:
+        val_dataset = VQADataset(
+            data_paths=profile["val_paths"],
+            other_paths=profile["paths"],
+            logger=logger,
+            answerable_only=False,
+        )
+        val_dataset.save(cache)
+
+    model_cfg = ModelConfig.from_cfg(cfg["train"], val_dataset.num_tokens)
+    template = vqa.init(jax.random.PRNGKey(0), model_cfg)
+    params = load_params(profile["paths"]["pretrained_model_path"], template)
+
+    mesh_cfg = cfg["tpu"]["mesh"]
+    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"])
+    compute_dtype = jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16" \
+        else jnp.float32
+
+    eval_step = make_eval_step(model_cfg, compute_dtype)
+    batcher = Batcher(val_dataset, cfg["train"]["batch_size"])
+    score, _ = evaluate(
+        eval_step, params, batcher, make_batch_sharding(mesh),
+        cfg["tpu"]["prefetch_depth"],
+    )
+    return round(score, 3)
+
+
+if __name__ == "__main__":
+    print(evaluate_hw2(sys.argv[1:]))

@@ -1,0 +1,139 @@
+"""Train entry point.
+
+TPU-native counterpart of the reference's ``main.py``
+(``/root/reference/main.py:26-146``): same orchestration — config init,
+logger, seed, build-or-load vocab / image caches / datasets, model build,
+optional warm start, train, hparam+metric report — with Hydra-style
+dotlist overrides on the command line:
+
+    python main.py main.use_full=false train.num_epochs=2
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+
+def main(cfg: dict) -> float:
+    import jax.numpy as jnp
+
+    from dl_vqa_tpu import config as config_mod
+    from dl_vqa_tpu.data import vocab as vocab_mod
+    from dl_vqa_tpu.data.dataset import VQADataset
+    from dl_vqa_tpu.data.images import preprocess_images
+    from dl_vqa_tpu.data.pipeline import Batcher
+    from dl_vqa_tpu.models import ModelConfig, vqa
+    from dl_vqa_tpu.parallel import batch_sharding as make_batch_sharding
+    from dl_vqa_tpu.parallel import make_mesh
+    from dl_vqa_tpu.train import TrainParams, train
+    from dl_vqa_tpu.utils import misc
+    from dl_vqa_tpu.utils.logger import TrainLogger
+
+    misc.init(cfg)
+    profile = cfg["main"]["full" if cfg["main"]["use_full"] else "small"]
+
+    logger = TrainLogger(
+        exp_name_prefix=cfg["main"]["experiment_name_prefix"],
+        logs_dir=profile["paths"]["logs"],
+    )
+    logger.write(f"Devices: {jax.devices()}")
+    logger.write(config_mod.to_yaml(cfg))
+    misc.set_seed(cfg["main"]["seed"])
+
+    # Build-or-load offline caches (vocab, h5 images, encoded datasets).
+    vocab_path = profile["paths"]["vocab_path"]
+    if not os.path.exists(vocab_path):
+        logger.write("Creating Vocab")
+        vocab_mod.create_vocab(
+            data_base_path=profile["paths"]["base_path"],
+            data_paths=profile["train_paths"],
+            vocab_path=vocab_path,
+            max_answers=cfg["train"]["max_answers"],
+        )
+
+    for split in ("train_paths", "val_paths"):
+        processed = profile[split]["processed_imgs"]
+        if not os.path.exists(processed):
+            logger.write(f"Processing {split} images -> {processed}")
+            preprocess_images(
+                other_paths=profile["paths"],
+                data_paths=profile[split],
+                image_size=cfg["train"]["image_size"],
+                central_fraction=cfg["train"]["central_fraction"],
+                processed_path=processed,
+                log=logger.write,
+            )
+
+    def load_or_build(split: str, answerable_only: bool) -> VQADataset:
+        cache = VQADataset.cache_path(profile[split]["vqaDataset"])
+        if os.path.exists(cache):
+            logger.write(f"Loading VQA {split} dataset from {cache}")
+            return VQADataset.load(cache)
+        logger.write(f"Creating {split} dataset")
+        ds = VQADataset(
+            data_paths=profile[split],
+            other_paths=profile["paths"],
+            logger=logger,
+            answerable_only=answerable_only,
+        )
+        ds.save(cache)
+        return ds
+
+    train_dataset = load_or_build("train_paths", answerable_only=True)
+    val_dataset = load_or_build("val_paths", answerable_only=False)
+
+    # Model
+    model_cfg = ModelConfig.from_cfg(cfg["train"], train_dataset.num_tokens)
+    params = vqa.init(jax.random.PRNGKey(cfg["main"]["seed"]), model_cfg)
+
+    opt_restore_path = None
+    if cfg["main"]["start_from_pretrained_model"]:
+        from dl_vqa_tpu.utils.checkpoint import load_params
+
+        pretrained = profile["paths"]["pretrained_model_path"]
+        if pretrained.endswith((".pth", ".pt")):
+            params = load_params(pretrained, params)
+            logger.write(f"Loaded torch params from {pretrained}")
+        else:
+            opt_restore_path = pretrained  # full state incl. optimizer
+    logger.write(vqa.summary(params))
+
+    # Mesh + sharding (single chip degenerates to no-op sharding).
+    mesh_cfg = cfg["tpu"]["mesh"]
+    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"])
+    b_sharding = make_batch_sharding(mesh)
+    compute_dtype = jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16" \
+        else jnp.float32
+    if cfg["tpu"]["debug_nans"]:
+        jax.config.update("jax_debug_nans", True)
+
+    train_batcher = Batcher(
+        train_dataset, cfg["train"]["batch_size"], shuffle=True,
+        seed=cfg["main"]["seed"],
+    )
+    val_batcher = Batcher(val_dataset, cfg["train"]["batch_size"])
+
+    train_params = TrainParams.from_cfg(cfg)
+    metrics = train(
+        model_cfg, params, train_batcher, val_batcher, train_params, logger,
+        opt_restore_path=opt_restore_path,
+        compute_dtype=compute_dtype,
+        seed=cfg["main"]["seed"],
+        batch_sharding=b_sharding,
+        prefetch_depth=cfg["tpu"]["prefetch_depth"],
+    )
+
+    logger.report_metrics_hyper_params(
+        config_mod.flatten(cfg["train"]), metrics
+    )
+    return float(metrics["Metrics/BestAccuracy"])
+
+
+if __name__ == "__main__":
+    from dl_vqa_tpu import config as config_mod
+
+    composed = config_mod.compose("config", overrides=sys.argv[1:])
+    print(main(composed))

@@ -1,0 +1,230 @@
+"""Training engine: LR law, fused step learning, checkpoint resume,
+end-to-end entry points on a synthetic corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_vqa_tpu.models import ModelConfig, vqa
+from dl_vqa_tpu.models.configs import (
+    AttentionConfig,
+    ClassifierConfig,
+    ImageConfig,
+    TextConfig,
+)
+from dl_vqa_tpu.train.state import create_train_state
+from dl_vqa_tpu.train.steps import (
+    lr_schedule,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _tiny_cfg(num_tokens=30, max_answers=12):
+    return ModelConfig(
+        text=TextConfig(question_features=16, embedding_features=8,
+                        dropout=0.0),
+        image=ImageConfig(num_channels=(3, 4, 6), dropout=0.0),
+        attention=AttentionConfig(hidden_dim=12, glimpses=2, dropout=0.0),
+        classifier=ClassifierConfig(hidden_dim=16, dropout=0.0),
+        max_answers=max_answers,
+        image_size=32,
+        num_tokens=num_tokens,
+    )
+
+
+def _tiny_batch(cfg, batch=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "images": jnp.asarray(
+            rng.standard_normal((batch, cfg.image_size, cfg.image_size, 3)),
+            dtype=jnp.float32,
+        ),
+        "questions": jnp.asarray(
+            rng.integers(0, cfg.num_tokens, (batch, 6)), dtype=jnp.int32
+        ),
+        "lengths": jnp.asarray(rng.integers(1, 7, (batch,)), dtype=jnp.int32),
+        "answer_indices": jnp.asarray(
+            rng.integers(1, cfg.max_answers + 1, (batch, 2)), dtype=jnp.int32
+        ),
+        "answer_values": jnp.asarray(
+            np.stack([np.full(batch, 7), np.full(batch, 3)], axis=1),
+            dtype=jnp.int32,
+        ),
+        "mask": jnp.ones((batch,), dtype=bool),
+    }
+
+
+def test_lr_schedule_halving_law():
+    sched = lr_schedule(5e-4)
+    assert float(sched(jnp.array(0))) == pytest.approx(5e-4)
+    assert float(sched(jnp.array(50_000))) == pytest.approx(2.5e-4, rel=1e-6)
+    assert float(sched(jnp.array(25_000))) == pytest.approx(
+        5e-4 * 0.5 ** 0.5, rel=1e-6
+    )
+
+
+def test_train_step_overfits_tiny_batch():
+    cfg = _tiny_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(3e-3)
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    batch = _tiny_batch(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    first_loss = None
+    for _ in range(200):
+        state, metrics = step(state, batch, rng)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    final_loss = float(metrics["loss"])
+    assert final_loss < first_loss * 0.5, (first_loss, final_loss)
+    assert int(state.step) == 200
+    # With a fixed batch the model should reach near-max accuracy: the
+    # dominant answer has count 7 -> per-sample score min(.3*7,1)=1.
+    assert float(metrics["score"]) >= 7.0
+
+
+def test_eval_step_deterministic():
+    cfg = _tiny_cfg()
+    params = vqa.init(jax.random.PRNGKey(1), cfg)
+    eval_step = make_eval_step(cfg, compute_dtype=jnp.float32)
+    batch = _tiny_batch(cfg, seed=3)
+    l1, s1 = eval_step(params, batch)
+    l2, s2 = eval_step(params, batch)
+    assert float(l1) == float(l2) and float(s1) == float(s2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    cfg = _tiny_cfg()
+    params = vqa.init(jax.random.PRNGKey(2), cfg)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    state, _ = step(state, _tiny_batch(cfg), jax.random.PRNGKey(0))
+
+    path = str(tmp_path / "ckpt.npz")
+    ckpt.save_checkpoint(path, state, epoch=4, model_cfg=cfg)
+
+    template = create_train_state(vqa.init(jax.random.PRNGKey(9), cfg), tx)
+    restored, epoch = ckpt.restore_state(template, path)
+    assert epoch == 4
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # params-only load from a full state dump
+    loaded = ckpt.load_params(path, params)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(loaded)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    cfg = _tiny_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "p.npz")
+    ckpt.save_checkpoint(path, params)
+
+    other = vqa.init(jax.random.PRNGKey(0), _tiny_cfg(max_answers=9))
+    with pytest.raises(ValueError, match="Shape mismatch"):
+        ckpt.load_params(path, other)
+
+
+def test_batcher_pads_final_batch():
+    from dl_vqa_tpu.data.pipeline import Batcher
+
+    class FakeDataset:
+        questions = np.arange(10 * 4).reshape(10, 4).astype(np.int32)
+        question_lengths = np.full(10, 4, dtype=np.int32)
+        answer_indices = np.ones((10, 2), dtype=np.int32)
+        answer_values = np.ones((10, 2), dtype=np.int32)
+
+        def __len__(self):
+            return 10
+
+    b = Batcher(FakeDataset(), batch_size=4, load_images=False)
+    batches = list(b)
+    assert len(b) == 3 and len(batches) == 3
+    assert batches[2]["questions"].shape == (4, 4)
+    assert batches[2]["mask"].tolist() == [True, True, False, False]
+
+
+def test_end_to_end_entrypoints(tmp_path, monkeypatch):
+    """main.py + evaluate_vqa.py on a hermetic synthetic corpus (the
+    reference's small_data mode, SURVEY.md §4)."""
+    from dl_vqa_tpu.data import synthetic
+
+    root = str(tmp_path / "data")
+    synthetic.make_synthetic_corpus(
+        root, n_train=32, n_val=16, n_images=6, image_size=32, max_answers=12
+    )
+    monkeypatch.chdir(tmp_path)
+
+    overrides = [
+        "main.use_full=false",
+        f"main.small.paths.base_path={root}",
+        f"main.small.paths.vocab_path={root}/vocab.json",
+        f"main.small.paths.logs={tmp_path}/logs/",
+        f"main.small.paths.pretrained_model_path={tmp_path}/model.ckpt",
+        f"main.small.train_paths.questions=train_questions.json",
+        f"main.small.train_paths.answers=train_annotations.json",
+        f"main.small.train_paths.processed_imgs={root}/processed_train_images.h5",
+        f"main.small.train_paths.vqaDataset={tmp_path}/ds_train.npz",
+        f"main.small.val_paths.questions=val_questions.json",
+        f"main.small.val_paths.answers=val_annotations.json",
+        f"main.small.val_paths.processed_imgs={root}/processed_val_images.h5",
+        f"main.small.val_paths.vqaDataset={tmp_path}/ds_val.npz",
+        "train.num_epochs=2",
+        "train.batch_size=8",
+        "train.max_answers=12",
+        "train.image_size=32",
+        "train.text.question_features=16",
+        "train.text.embedding_features=8",
+        "train.image.num_channels=[3, 4, 6]",
+        "train.attention.hidden_dim=12",
+        "train.classifier.hidden_dim=16",
+        "tpu.compute_dtype=float32",
+    ]
+
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from dl_vqa_tpu import config as config_mod
+    import main as train_main
+
+    cfg = config_mod.compose("config", overrides=overrides)
+    best = train_main.main(cfg)
+    assert isinstance(best, float) and best >= 0.0
+
+    # A best checkpoint must exist in the experiment dir.
+    logs_root = str(tmp_path / "logs")
+    ckpts = [
+        os.path.join(dirpath, f)
+        for dirpath, _, files in os.walk(logs_root)
+        for f in files
+        if f == "model.ckpt"
+    ]
+    assert ckpts, "no best checkpoint written"
+
+    # Eval entry point consumes the checkpoint.
+    import evaluate_vqa as eval_main
+
+    eval_overrides = overrides + [
+        f"main.small.paths.pretrained_model_path={ckpts[0]}",
+    ]
+    score = eval_main.evaluate_hw2(eval_overrides)
+    assert isinstance(score, float) and 0.0 <= score <= 100.0
