@@ -77,9 +77,11 @@ class ModelConfig:
     max_answers: int = 3000
     image_size: int = 224
     num_tokens: int = 15193            # question vocab size + 1; dataset-dependent
+    use_pallas: bool = True            # enable Pallas kernels where they win
 
     @classmethod
-    def from_cfg(cls, train_cfg: dict, num_tokens: int) -> "ModelConfig":
+    def from_cfg(cls, train_cfg: dict, num_tokens: int,
+                 use_pallas: bool = True) -> "ModelConfig":
         """Build from the ``train`` config group + the dataset's token count."""
         t, i = train_cfg["text"], train_cfg["image"]
         a, c = train_cfg["attention"], train_cfg["classifier"]
@@ -114,4 +116,5 @@ class ModelConfig:
             max_answers=train_cfg["max_answers"],
             image_size=train_cfg["image_size"],
             num_tokens=num_tokens,
+            use_pallas=use_pallas,
         )

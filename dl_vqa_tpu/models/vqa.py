@@ -135,13 +135,19 @@ def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
 def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
                   train: bool, rng, dtype) -> jnp.ndarray:
     """Conv stack (conv->relu->maxpool per block, dropout at the end),
-    ref ``model.py:72-84``. Input/output NHWC."""
+    ref ``model.py:72-84``. Input/output NHWC.
+
+    Each block routes through :func:`dl_vqa_tpu.ops.conv_fused.
+    conv_relu_pool` — currently the XLA path (measured faster than the
+    Pallas fused kernel on v5e; see that module's docstring)."""
+    from dl_vqa_tpu.ops.conv_fused import conv_relu_pool
+
     x = images.astype(dtype)
     for block in range(len(cfg.image.num_channels) - 1):
         p = params["image"][f"conv{block}"]
-        x = _conv2d(x, p["w"].astype(dtype), p["b"], cfg.image.stride)
-        x = jax.nn.relu(x).astype(dtype)
-        x = _maxpool2(x)
+        x = conv_relu_pool(
+            x, p["w"].astype(dtype), p["b"], stride=cfg.image.stride
+        )
     return _dropout(x, cfg.image.dropout, train, _site_rng(rng, 0))
 
 
@@ -159,6 +165,7 @@ def text_encoder(params: Params, cfg: ModelConfig, questions: jnp.ndarray,
         return bilstm_final_cell(
             embedded, lengths,
             params["text"]["lstm_fwd"], params["text"]["lstm_bwd"],
+            use_pallas=cfg.use_pallas,
         )
     from dl_vqa_tpu.ops.lstm import lstm_scan
 

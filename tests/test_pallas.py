@@ -1,0 +1,113 @@
+"""Pallas kernel equivalence tests, run in interpreter mode on CPU
+(SURVEY.md §4 tier 5: kernel-vs-XLA-reference, no TPU needed in CI)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_vqa_tpu.ops.conv_fused import (
+    conv_relu_pool,
+    conv_relu_pool_pallas,
+    conv_relu_pool_reference,
+)
+from dl_vqa_tpu.ops.lstm import lstm_scan
+from dl_vqa_tpu.ops.lstm_pallas import lstm_scan_pallas
+
+
+@pytest.mark.parametrize("h,cin,cout,k", [
+    (64, 3, 8, 3),
+    (37, 16, 32, 3),   # odd conv-output width -> padding path
+    (24, 8, 16, 5),    # k=5
+    (20, 32, 8, 3),
+])
+def test_conv_relu_pool_matches_reference(h, cin, cout, k, rng):
+    x = jnp.asarray(rng.standard_normal((2, h, h, cin)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.1,
+                    dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(cout) * 0.1, dtype=jnp.float32)
+    ref = conv_relu_pool_reference(x, w, b, 1)
+    out = conv_relu_pool_pallas(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_conv_relu_pool_gradients_match(rng):
+    x = jnp.asarray(rng.standard_normal((2, 20, 20, 16)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                    dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8) * 0.1, dtype=jnp.float32)
+
+    def loss_fused(x, w, b):
+        return jnp.sum(conv_relu_pool(x, w, b, use_pallas=True,
+                                      interpret=True) ** 2)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(conv_relu_pool_reference(x, w, b, 1) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, e in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_conv_dispatch_falls_back_off_tpu(rng):
+    # On CPU without interpret, the fused path must route to XLA.
+    x = jnp.asarray(rng.standard_normal((1, 12, 12, 16)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                    dtype=jnp.float32)
+    b = jnp.zeros(8, dtype=jnp.float32)
+    out = conv_relu_pool(x, w, b, use_pallas=True)
+    ref = conv_relu_pool_reference(x, w, b, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("batch,seq,emb,hid", [(16, 11, 16, 32), (8, 5, 8, 16)])
+def test_lstm_pallas_matches_scan(batch, seq, emb, hid, rng):
+    x = jnp.asarray(rng.standard_normal((batch, seq, emb)), dtype=jnp.float32)
+    lengths = jnp.asarray(rng.integers(1, seq + 1, batch), dtype=jnp.int32)
+    params = {
+        "w_ih": jnp.asarray(rng.standard_normal((emb, 4 * hid)) * 0.1,
+                            dtype=jnp.float32),
+        "w_hh": jnp.asarray(rng.standard_normal((hid, 4 * hid)) * 0.1,
+                            dtype=jnp.float32),
+        "b": jnp.asarray(rng.standard_normal(4 * hid) * 0.1,
+                         dtype=jnp.float32),
+    }
+    h_ref, c_ref = lstm_scan(x, lengths, params)
+    h, c = lstm_scan_pallas(x, lengths, params, True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_lstm_pallas_gradients_match(rng):
+    batch, seq, emb, hid = 8, 7, 8, 16
+    x = jnp.asarray(rng.standard_normal((batch, seq, emb)), dtype=jnp.float32)
+    lengths = jnp.asarray(rng.integers(1, seq + 1, batch), dtype=jnp.int32)
+    params = {
+        "w_ih": jnp.asarray(rng.standard_normal((emb, 4 * hid)) * 0.1,
+                            dtype=jnp.float32),
+        "w_hh": jnp.asarray(rng.standard_normal((hid, 4 * hid)) * 0.1,
+                            dtype=jnp.float32),
+        "b": jnp.asarray(rng.standard_normal(4 * hid) * 0.1,
+                         dtype=jnp.float32),
+    }
+
+    def loss_p(x, p):
+        h, c = lstm_scan_pallas(x, lengths, p, True)
+        return jnp.sum(c ** 2) + jnp.sum(h)
+
+    def loss_r(x, p):
+        h, c = lstm_scan(x, lengths, p)
+        return jnp.sum(c ** 2) + jnp.sum(h)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(x, params)
+    gr = jax.grad(loss_r, argnums=(0, 1))(x, params)
+    for a, e in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-5)
