@@ -61,10 +61,10 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
     params: Params = {"text": {}, "image": {}, "attention": {}, "classifier": {}}
 
     # Text encoder
-    params["text"]["embedding"] = init_lib.embedding_params(
-        keys[0], cfg.num_tokens, t.embedding_features
-    )
     if t.encoder == "lstm":
+        params["text"]["embedding"] = init_lib.embedding_params(
+            keys[0], cfg.num_tokens, t.embedding_features
+        )
         params["text"]["lstm_fwd"] = init_lib.lstm_params(
             keys[1], t.embedding_features, t.question_features
         )
@@ -72,6 +72,13 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
             params["text"]["lstm_bwd"] = init_lib.lstm_params(
                 keys[2], t.embedding_features, t.question_features
             )
+    elif t.encoder == "transformer":
+        from dl_vqa_tpu.models.transformer import init_transformer_text
+
+        params["text"] = init_transformer_text(
+            keys[0], cfg.num_tokens, t.embedding_features,
+            t.question_features, t.num_heads, t.num_layers,
+        )
     else:
         raise NotImplementedError(f"text encoder {t.encoder!r}")
 
@@ -85,16 +92,32 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
     # Attention fusion
     v_features = i.output_channels
     q_features = t.output_features
-    x_in = 2 * a.hidden_dim if a.do_option == "|" else a.hidden_dim
-    params["attention"]["v_conv"] = init_lib.conv_params(
-        keys[10], 1, v_features, a.hidden_dim, use_bias=False
-    )
-    params["attention"]["q_lin"] = init_lib.linear_params(
-        keys[11], q_features, a.hidden_dim
-    )
-    params["attention"]["x_conv"] = init_lib.conv_params(
-        keys[12], 1, x_in, a.glimpses
-    )
+    if a.variant == "single":
+        x_in = 2 * a.hidden_dim if a.do_option == "|" else a.hidden_dim
+        params["attention"]["v_conv"] = init_lib.conv_params(
+            keys[10], 1, v_features, a.hidden_dim, use_bias=False
+        )
+        params["attention"]["q_lin"] = init_lib.linear_params(
+            keys[11], q_features, a.hidden_dim
+        )
+        params["attention"]["x_conv"] = init_lib.conv_params(
+            keys[12], 1, x_in, a.glimpses
+        )
+    elif a.variant == "stacked":
+        from dl_vqa_tpu.models.fusion import init_stacked_attention
+
+        params["attention"] = init_stacked_attention(
+            keys[10], v_features, q_features, a.hidden_dim, a.glimpses
+        )
+    elif a.variant == "co":
+        from dl_vqa_tpu.models.fusion import init_co_attention
+
+        params["attention"] = init_co_attention(
+            keys[10], v_features, q_features, q_features, a.hidden_dim,
+            a.glimpses, a.do_option,
+        )
+    else:
+        raise NotImplementedError(f"attention variant {a.variant!r}")
 
     # Classifier
     combined = a.glimpses * v_features + q_features
@@ -153,24 +176,62 @@ def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
 
 def text_encoder(params: Params, cfg: ModelConfig, questions: jnp.ndarray,
                  lengths: jnp.ndarray, train: bool, rng, dtype) -> jnp.ndarray:
-    """Embed -> dropout -> tanh -> masked bi-LSTM final cell state,
-    ref ``model.py:134-166``. Returns [B, output_features] (fp32)."""
+    """Pooled question features [B, output_features] (fp32).
+
+    LSTM path: embed -> dropout -> tanh -> masked bi-LSTM final cell
+    state, ref ``model.py:134-166``."""
+    pooled, _, _ = encode_text(params, cfg, questions, lengths, train, rng,
+                               dtype, need_tokens=False)
+    return pooled
+
+
+def encode_text(params: Params, cfg: ModelConfig, questions: jnp.ndarray,
+                lengths: jnp.ndarray, train: bool, rng, dtype,
+                need_tokens: bool = False):
+    """(pooled [B, F], tokens [B, T, F] | None, mask [B, T] | None)."""
+    if cfg.text.encoder == "transformer":
+        from dl_vqa_tpu.models.transformer import apply_transformer_text
+
+        pooled, tokens, mask = apply_transformer_text(
+            params["text"], questions, lengths, cfg.text.num_heads,
+            cfg.text.dropout, train, _site_rng(rng, 1), dtype,
+        )
+        return pooled, (tokens if need_tokens else None), mask
+
     table = params["text"]["embedding"]
     embedded = jnp.take(table, questions, axis=0)
     # id 0 is <unknown>/pad: torch's padding_idx keeps that row at zero.
     embedded = embedded * (questions > 0)[..., None]
     embedded = _dropout(embedded, cfg.text.dropout, train, _site_rng(rng, 1))
     embedded = jnp.tanh(embedded).astype(dtype)
+
+    tokens = mask = None
+    if need_tokens:
+        from dl_vqa_tpu.ops.lstm import bilstm_token_states, lstm_scan_outputs
+
+        seq = questions.shape[1]
+        mask = jnp.arange(seq)[None, :] < lengths[:, None]
+        if cfg.text.bidirectional:
+            tokens = bilstm_token_states(
+                embedded, lengths,
+                params["text"]["lstm_fwd"], params["text"]["lstm_bwd"],
+            )
+        else:
+            tokens = lstm_scan_outputs(
+                embedded, lengths, params["text"]["lstm_fwd"]
+            ) * mask[..., None]
+
     if cfg.text.bidirectional:
-        return bilstm_final_cell(
+        pooled = bilstm_final_cell(
             embedded, lengths,
             params["text"]["lstm_fwd"], params["text"]["lstm_bwd"],
             use_pallas=cfg.use_pallas,
         )
-    from dl_vqa_tpu.ops.lstm import lstm_scan
+    else:
+        from dl_vqa_tpu.ops.lstm import lstm_scan
 
-    _, c_final = lstm_scan(embedded, lengths, params["text"]["lstm_fwd"])
-    return c_final
+        _, pooled = lstm_scan(embedded, lengths, params["text"]["lstm_fwd"])
+    return pooled, tokens, mask
 
 
 def attention_logits(params: Params, cfg: ModelConfig, v: jnp.ndarray,
@@ -267,13 +328,40 @@ def apply(
     v = v.astype(jnp.float32)
     v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
 
-    q = text_encoder(params, cfg, questions, lengths, train, rng,
-                     compute_dtype).astype(jnp.float32)
+    variant = cfg.attention.variant
+    q, tokens, mask = encode_text(
+        params, cfg, questions, lengths, train, rng, compute_dtype,
+        need_tokens=(variant == "co"),
+    )
+    q = q.astype(jnp.float32)
 
-    att = attention_logits(params, cfg, v, q, train, rng, compute_dtype)
-    pooled = attention_pool(v, att)
+    def dropout_fn(x, site):
+        return _dropout(x, cfg.attention.dropout, train,
+                        _site_rng(rng, 10 + site))
 
-    combined = jnp.concatenate([pooled, q], axis=1)
+    if variant == "single":
+        att = attention_logits(params, cfg, v, q, train, rng, compute_dtype)
+        pooled = attention_pool(v, att)
+        q_for_classifier = q
+    elif variant == "stacked":
+        from dl_vqa_tpu.models.fusion import apply_stacked_attention
+
+        pooled = apply_stacked_attention(
+            params["attention"], v, q, cfg.attention.do_option, dropout_fn,
+            compute_dtype,
+        )
+        q_for_classifier = q
+    elif variant == "co":
+        from dl_vqa_tpu.models.fusion import apply_co_attention
+
+        pooled, q_for_classifier = apply_co_attention(
+            params["attention"], v, q, tokens, mask,
+            cfg.attention.do_option, dropout_fn, compute_dtype,
+        )
+    else:
+        raise NotImplementedError(f"attention variant {variant!r}")
+
+    combined = jnp.concatenate([pooled, q_for_classifier], axis=1)
     return classifier(params, cfg, combined, train, rng, compute_dtype)
 
 

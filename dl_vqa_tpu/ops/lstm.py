@@ -29,7 +29,14 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["lstm_cell", "lstm_scan", "reverse_valid_prefix", "bilstm_final_cell"]
+__all__ = [
+    "lstm_cell",
+    "lstm_scan",
+    "lstm_scan_outputs",
+    "bilstm_token_states",
+    "reverse_valid_prefix",
+    "bilstm_final_cell",
+]
 
 
 def lstm_cell(
@@ -85,6 +92,66 @@ def lstm_scan(
     )
     (h_final, c_final), _ = jax.lax.scan(step, init, (x_proj_t, step_mask))
     return h_final, c_final
+
+
+def lstm_scan_outputs(
+    x: jnp.ndarray,        # [B, T, E]
+    lengths: jnp.ndarray,  # [B] int
+    params: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """Masked LSTM scan returning the hidden state at EVERY step,
+    [B, T, H]; pad positions carry the last valid state (callers mask)."""
+    w_ih, w_hh, b = params["w_ih"], params["w_hh"], params["b"]
+    batch, seq_len, _ = x.shape
+    hidden = w_hh.shape[0]
+    x_proj = (
+        jnp.dot(x.reshape(batch * seq_len, -1), w_ih,
+                preferred_element_type=jnp.float32)
+        .reshape(batch, seq_len, 4 * hidden)
+        + b
+    )
+    x_proj_t = jnp.swapaxes(x_proj, 0, 1)
+    step_mask = (
+        jnp.arange(seq_len, dtype=lengths.dtype)[:, None] < lengths[None, :]
+    )
+
+    def step(carry, inputs):
+        h, c = carry
+        xt, mask = inputs
+        h_new, c_new = lstm_cell(xt, h, c, w_hh)
+        keep = mask[:, None]
+        h = jnp.where(keep, h_new, h)
+        c = jnp.where(keep, c_new, c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((batch, hidden), dtype=x_proj.dtype),
+        jnp.zeros((batch, hidden), dtype=x_proj.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, (x_proj_t, step_mask))
+    return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+
+
+def bilstm_token_states(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    fwd_params: Dict[str, jnp.ndarray],
+    bwd_params: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """Per-token bi-LSTM states [B, T, 2H] (packed-LSTM output semantics:
+    backward states re-aligned to original positions; pads zeroed)."""
+    seq_len = x.shape[1]
+    h_fwd = lstm_scan_outputs(x, lengths, fwd_params)
+    h_bwd_rev = lstm_scan_outputs(
+        reverse_valid_prefix(x, lengths), lengths, bwd_params
+    )
+    # position t (original) was processed at step len-1-t of the reversed scan
+    h_bwd = reverse_valid_prefix(h_bwd_rev, lengths)
+    mask = (
+        jnp.arange(seq_len, dtype=lengths.dtype)[None, :] < lengths[:, None]
+    )
+    tokens = jnp.concatenate([h_fwd, h_bwd], axis=-1)
+    return tokens * mask[..., None]
 
 
 def reverse_valid_prefix(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:

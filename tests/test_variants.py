@@ -1,0 +1,139 @@
+"""Model variants: stacked attention (SAN), transformer text encoder,
+co-attention fusion (BASELINE configs 3 and 5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_vqa_tpu.models import ModelConfig, vqa
+from dl_vqa_tpu.models.configs import (
+    AttentionConfig,
+    ClassifierConfig,
+    ImageConfig,
+    TextConfig,
+)
+from dl_vqa_tpu.ops.lstm import bilstm_token_states
+
+torch = pytest.importorskip("torch")
+
+
+def _cfg(encoder="lstm", variant="single", do_option="+", max_answers=20,
+         bidirectional=True):
+    return ModelConfig(
+        text=TextConfig(encoder=encoder, question_features=32,
+                        embedding_features=16, dropout=0.0,
+                        bidirectional=bidirectional, num_heads=4,
+                        num_layers=2),
+        image=ImageConfig(num_channels=(3, 4, 8), dropout=0.0),
+        attention=AttentionConfig(variant=variant, hidden_dim=24, glimpses=2,
+                                  do_option=do_option, dropout=0.0),
+        classifier=ClassifierConfig(hidden_dim=16, dropout=0.0),
+        max_answers=max_answers,
+        image_size=32,
+        num_tokens=40,
+    )
+
+
+def _batch(cfg, batch=4, seed=0):
+    rng = np.random.default_rng(seed)
+    questions = rng.integers(1, cfg.num_tokens, (batch, 7)).astype(np.int32)
+    lengths = np.array([7, 3, 5, 1][:batch], dtype=np.int32)
+    for i, l in enumerate(lengths):
+        questions[i, l:] = 0
+    return (
+        jnp.asarray(rng.standard_normal(
+            (batch, cfg.image_size, cfg.image_size, 3)), dtype=jnp.float32),
+        jnp.asarray(questions),
+        jnp.asarray(lengths),
+    )
+
+
+@pytest.mark.parametrize("encoder,variant", [
+    ("lstm", "stacked"),
+    ("lstm", "co"),
+    ("transformer", "single"),
+    ("transformer", "co"),
+    ("transformer", "stacked"),
+])
+def test_variant_forward_shapes_and_grads(encoder, variant):
+    cfg = _cfg(encoder=encoder, variant=variant)
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    images, questions, lengths = _batch(cfg)
+
+    logits = vqa.apply(params, cfg, images, questions, lengths)
+    assert logits.shape == (4, cfg.max_answers)
+    assert bool(jnp.isfinite(logits).all())
+
+    # jit + differentiable end to end
+    def loss(p):
+        out = vqa.apply(p, cfg, images, questions, lengths, train=True,
+                        rng=jax.random.PRNGKey(1))
+        return jnp.sum(out ** 2)
+
+    grads = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    # at least one attention grad is nonzero
+    att_leaves = jax.tree_util.tree_leaves(grads["attention"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in att_leaves)
+
+
+def test_variant_10k_answers_classifier():
+    cfg = _cfg(encoder="transformer", variant="co", max_answers=10_000)
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    images, questions, lengths = _batch(cfg)
+    logits = vqa.apply(params, cfg, images, questions, lengths)
+    assert logits.shape == (4, 10_000)
+
+
+def test_bilstm_token_states_match_torch_packed_outputs():
+    """Token-level bi-LSTM states must equal torch's packed outputs
+    (zeros at pads) — the co-attention variant consumes these."""
+    torch.manual_seed(0)
+    batch, seq, emb, hid = 4, 9, 12, 16
+    lengths = np.array([9, 2, 5, 7], dtype=np.int32)
+    lstm = torch.nn.LSTM(emb, hid, bidirectional=True)
+    x = torch.randn(batch, seq, emb)
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        x, list(lengths), batch_first=True, enforce_sorted=False
+    )
+    out, _ = lstm(packed)
+    expected, _ = torch.nn.utils.rnn.pad_packed_sequence(
+        out, batch_first=True, total_length=seq
+    )
+
+    def p(suffix):
+        return {
+            "w_ih": jnp.asarray(
+                getattr(lstm, f"weight_ih_l0{suffix}").detach().numpy().T),
+            "w_hh": jnp.asarray(
+                getattr(lstm, f"weight_hh_l0{suffix}").detach().numpy().T),
+            "b": jnp.asarray(
+                (getattr(lstm, f"bias_ih_l0{suffix}")
+                 + getattr(lstm, f"bias_hh_l0{suffix}")).detach().numpy()),
+        }
+
+    actual = bilstm_token_states(
+        jnp.asarray(x.numpy()), jnp.asarray(lengths), p(""), p("_reverse")
+    )
+    np.testing.assert_allclose(
+        np.asarray(actual), expected.detach().numpy(), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_stacked_attention_glimpses_differ():
+    """The second glimpse must actually depend on the first (query
+    refinement) — zeroing the update projection changes glimpse 2."""
+    cfg = _cfg(variant="stacked")
+    params = vqa.init(jax.random.PRNGKey(3), cfg)
+    images, questions, lengths = _batch(cfg)
+
+    base = vqa.apply(params, cfg, images, questions, lengths)
+    cut = jax.tree_util.tree_map(lambda x: x, params)
+    cut["attention"]["layers"][0]["update"]["w"] = jnp.zeros_like(
+        cut["attention"]["layers"][0]["update"]["w"]
+    )
+    changed = vqa.apply(cut, cfg, images, questions, lengths)
+    assert not np.allclose(np.asarray(base), np.asarray(changed))
