@@ -99,6 +99,7 @@ CFG_SCHEMA: Dict[str, Any] = {
     },
     "tpu": {
         "compute_dtype": str,        # 'float32' | 'bfloat16'
+        "online_images": bool,       # decode JPEGs on the fly (no h5 cache)
         "mesh": {
             "data": int,             # -1 = all remaining devices
             "model": int,

@@ -81,6 +81,7 @@ class VQADataset:
         other_paths: dict,
         logger=None,
         answerable_only: bool = False,
+        require_image_cache: bool = True,
     ):
         log = logger.write if logger is not None else (lambda *_: None)
         base_path = other_paths["base_path"]
@@ -132,11 +133,17 @@ class VQADataset:
         self.image_ids = np.array(
             [q["image_id"] for q in questions_json["questions"]], dtype=np.int64
         )
-        self._image_id_to_row = self._build_image_row_map()
-        self.h5_rows = np.array(
-            [self._image_id_to_row[i] for i in self.image_ids.tolist()],
-            dtype=np.int64,
-        )
+        if require_image_cache:
+            self._image_id_to_row = self._build_image_row_map()
+            self.h5_rows = np.array(
+                [self._image_id_to_row[i] for i in self.image_ids.tolist()],
+                dtype=np.int64,
+            )
+        else:
+            # Online-image mode: JPEGs are decoded on the fly by image_id;
+            # no h5 cache exists.
+            self._image_id_to_row = None
+            self.h5_rows = np.zeros(n, dtype=np.int64)
 
         if answerable_only:
             log("Filtering to answerable-only samples")

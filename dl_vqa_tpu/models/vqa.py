@@ -324,6 +324,17 @@ def apply(
     if train and rng is None:
         raise ValueError("train=True requires a dropout rng")
 
+    if images.dtype == jnp.uint8:
+        # Online pipeline (BASELINE config 2): raw decoded pixels arrive
+        # uint8; ImageNet normalization runs on device, fused by XLA into
+        # the first conv's input read.
+        from dl_vqa_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+
+        images = (
+            images.astype(compute_dtype) / 255.0
+            - jnp.asarray(IMAGENET_MEAN, dtype=compute_dtype)
+        ) / jnp.asarray(IMAGENET_STD, dtype=compute_dtype)
+
     v = image_encoder(params, cfg, images, train, rng, compute_dtype)
     v = v.astype(jnp.float32)
     v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)

@@ -50,8 +50,9 @@ def evaluate_hw2(overrides=()) -> float:
             max_answers=cfg["train"]["max_answers"],
         )
 
+    online_images = cfg["tpu"]["online_images"]
     val_imgs = profile["val_paths"]["processed_imgs"]
-    if not os.path.exists(val_imgs):
+    if not online_images and not os.path.exists(val_imgs):
         preprocess_images(
             other_paths=profile["paths"],
             data_paths=profile["val_paths"],
@@ -70,6 +71,7 @@ def evaluate_hw2(overrides=()) -> float:
             other_paths=profile["paths"],
             logger=logger,
             answerable_only=False,
+            require_image_cache=not online_images,
         )
         val_dataset.save(cache)
 
@@ -83,7 +85,19 @@ def evaluate_hw2(overrides=()) -> float:
         else jnp.float32
 
     eval_step = make_eval_step(model_cfg, compute_dtype)
-    batcher = Batcher(val_dataset, cfg["train"]["batch_size"])
+    if online_images:
+        from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher
+
+        loader = JpegLoader(
+            os.path.join(
+                profile["paths"]["base_path"], profile["val_paths"]["imgs"]
+            ),
+            image_size=cfg["train"]["image_size"],
+            central_fraction=cfg["train"]["central_fraction"],
+        )
+        batcher = OnlineBatcher(val_dataset, cfg["train"]["batch_size"], loader)
+    else:
+        batcher = Batcher(val_dataset, cfg["train"]["batch_size"])
     score, _ = evaluate(
         eval_step, params, batcher, make_batch_sharding(mesh),
         cfg["tpu"]["prefetch_depth"],

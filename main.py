@@ -54,18 +54,20 @@ def main(cfg: dict) -> float:
             max_answers=cfg["train"]["max_answers"],
         )
 
-    for split in ("train_paths", "val_paths"):
-        processed = profile[split]["processed_imgs"]
-        if not os.path.exists(processed):
-            logger.write(f"Processing {split} images -> {processed}")
-            preprocess_images(
-                other_paths=profile["paths"],
-                data_paths=profile[split],
-                image_size=cfg["train"]["image_size"],
-                central_fraction=cfg["train"]["central_fraction"],
-                processed_path=processed,
-                log=logger.write,
-            )
+    online_images = cfg["tpu"]["online_images"]
+    if not online_images:
+        for split in ("train_paths", "val_paths"):
+            processed = profile[split]["processed_imgs"]
+            if not os.path.exists(processed):
+                logger.write(f"Processing {split} images -> {processed}")
+                preprocess_images(
+                    other_paths=profile["paths"],
+                    data_paths=profile[split],
+                    image_size=cfg["train"]["image_size"],
+                    central_fraction=cfg["train"]["central_fraction"],
+                    processed_path=processed,
+                    log=logger.write,
+                )
 
     def load_or_build(split: str, answerable_only: bool) -> VQADataset:
         cache = VQADataset.cache_path(profile[split]["vqaDataset"])
@@ -78,6 +80,7 @@ def main(cfg: dict) -> float:
             other_paths=profile["paths"],
             logger=logger,
             answerable_only=answerable_only,
+            require_image_cache=not online_images,
         )
         ds.save(cache)
         return ds
@@ -110,11 +113,31 @@ def main(cfg: dict) -> float:
     if cfg["tpu"]["debug_nans"]:
         jax.config.update("jax_debug_nans", True)
 
-    train_batcher = Batcher(
-        train_dataset, cfg["train"]["batch_size"], shuffle=True,
-        seed=cfg["main"]["seed"],
-    )
-    val_batcher = Batcher(val_dataset, cfg["train"]["batch_size"])
+    if online_images:
+        from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher
+
+        def make_loader(split):
+            return JpegLoader(
+                os.path.join(
+                    profile["paths"]["base_path"], profile[split]["imgs"]
+                ),
+                image_size=cfg["train"]["image_size"],
+                central_fraction=cfg["train"]["central_fraction"],
+            )
+
+        train_batcher = OnlineBatcher(
+            train_dataset, cfg["train"]["batch_size"],
+            make_loader("train_paths"), shuffle=True, seed=cfg["main"]["seed"],
+        )
+        val_batcher = OnlineBatcher(
+            val_dataset, cfg["train"]["batch_size"], make_loader("val_paths")
+        )
+    else:
+        train_batcher = Batcher(
+            train_dataset, cfg["train"]["batch_size"], shuffle=True,
+            seed=cfg["main"]["seed"],
+        )
+        val_batcher = Batcher(val_dataset, cfg["train"]["batch_size"])
 
     train_params = TrainParams.from_cfg(cfg)
     metrics = train(
