@@ -46,7 +46,12 @@ _SCI_FLOAT = __import__("re").compile(r"^[+-]?\d+(\.\d*)?[eE][+-]?\d+$")
 
 
 def _parse_value(raw: str) -> Any:
-    value = yaml.safe_load(raw)
+    try:
+        value = yaml.safe_load(raw)
+    except yaml.YAMLError:
+        # Bare '*', '|', etc. are YAML syntax errors; Hydra users mean the
+        # literal string (e.g. train.attention.do_option=*).
+        return raw
     # YAML 1.1 treats '5e-4' (no mantissa dot) as a string; Hydra users
     # expect a float.
     if isinstance(value, str) and _SCI_FLOAT.match(value):

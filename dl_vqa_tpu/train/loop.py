@@ -97,6 +97,7 @@ def train(
     batch_sharding=None,
     state_sharding=None,
     prefetch_depth: int = 2,
+    profile_dir: str = "",
 ) -> Dict[str, float]:
     """Train to convergence / early stop; returns the reference's metrics
     dict (``Metrics/BestAccuracy`` etc.)."""
@@ -117,6 +118,9 @@ def train(
     metrics: Dict[str, float] = {}
 
     for epoch in range(train_params.num_epochs):
+        # Profile the second epoch: the first is dominated by compilation.
+        if profile_dir and epoch == 1:
+            jax.profiler.start_trace(profile_dir)
         t0 = time.time()
         n_batches = len(train_batcher)
         n_samples = len(train_batcher.dataset)
@@ -128,6 +132,21 @@ def train(
             state, step_metrics = train_step(state, batch, rng)
             loss_total += float(step_metrics["loss"])
             score_total += float(step_metrics["score"])
+
+        if profile_dir and epoch == 1:
+            jax.profiler.stop_trace()
+            logger.write(f"Profiler trace written to {profile_dir}")
+
+        epoch_seconds = max(time.time() - t0, 1e-9)
+        n_chips = max(jax.device_count(), 1)
+        logger.report_scalars(
+            {
+                "Throughput/StepsPerSec": n_batches / epoch_seconds,
+                "Throughput/QAPairsPerSecPerChip":
+                    n_samples / epoch_seconds / n_chips,
+            },
+            epoch,
+        )
 
         train_loss = loss_total / max(n_batches, 1)
         train_score = score_total / max(n_samples, 1) * 100.0

@@ -147,6 +147,7 @@ def main(cfg: dict) -> float:
         seed=cfg["main"]["seed"],
         batch_sharding=b_sharding,
         prefetch_depth=cfg["tpu"]["prefetch_depth"],
+        profile_dir=cfg["tpu"]["profile_dir"],
     )
 
     logger.report_metrics_hyper_params(

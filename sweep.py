@@ -1,0 +1,109 @@
+"""Hyperparameter sweep driver.
+
+Replaces the reference's Hydra-Ax Bayesian sweeper
+(``/root/reference/config/config.yaml:91-132``): maximize the value
+returned by ``main(cfg)`` (best validation accuracy) over a declared
+search space, with ``max_trials`` and early stopping after
+``max_epochs_without_improvement`` stagnant trials.
+
+The default space is the reference's active one — ``train.image.stride in
+{1, 2}`` x ``train.attention.do_option in {'+', '*'}`` — explored
+exhaustively when the space is small (<= max_trials points, where grid ==
+any optimizer) and by seeded random search otherwise.
+
+    python sweep.py [--trials N] [--space key=v1,v2 ...] [overrides...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import random
+import sys
+from typing import Dict, List, Sequence, Tuple
+
+import yaml
+
+DEFAULT_SPACE: Dict[str, List] = {
+    "train.image.stride": [1, 2],
+    "train.attention.do_option": ["+", "*"],
+}
+
+
+def _parse_scalar(raw: str):
+    try:
+        return yaml.safe_load(raw)
+    except yaml.YAMLError:
+        return raw  # bare '*', '|' etc. are YAML syntax; treat as literal
+
+
+def parse_space(items: Sequence[str]) -> Dict[str, List]:
+    space = {}
+    for item in items:
+        key, raw = item.split("=", 1)
+        space[key] = [_parse_scalar(v) for v in raw.split(",")]
+    return space
+
+
+def candidates(space: Dict[str, List], max_trials: int,
+               seed: int) -> List[Dict]:
+    keys = list(space)
+    grid = [dict(zip(keys, combo))
+            for combo in itertools.product(*(space[k] for k in keys))]
+    if len(grid) <= max_trials:
+        return grid
+    rng = random.Random(seed)
+    rng.shuffle(grid)
+    return grid[:max_trials]
+
+
+def run_sweep(space: Dict[str, List], max_trials: int,
+              base_overrides: Sequence[str], seed: int = 0,
+              max_stagnant: int = 4,
+              runner=None) -> Tuple[Dict, float, List]:
+    """Returns (best_assignment, best_value, history)."""
+    if runner is None:
+        from dl_vqa_tpu import config as config_mod
+        import main as main_mod
+
+        def runner(overrides):
+            cfg = config_mod.compose("config", overrides=list(overrides))
+            return main_mod.main(cfg)
+
+    best_value, best_assignment = float("-inf"), None
+    stagnant = 0
+    history = []
+    for trial, assignment in enumerate(candidates(space, max_trials, seed)):
+        overrides = list(base_overrides) + [
+            f"{k}={json.dumps(v)}" for k, v in assignment.items()
+        ]
+        value = float(runner(overrides))
+        history.append({"trial": trial, "assignment": assignment,
+                        "value": value})
+        print(f"[sweep] trial {trial}: {assignment} -> {value:.4f}")
+        if value > best_value:
+            best_value, best_assignment = value, assignment
+            stagnant = 0
+        else:
+            stagnant += 1
+            if stagnant >= max_stagnant:
+                print("[sweep] early stop: no improvement")
+                break
+    print(f"[sweep] best: {best_assignment} -> {best_value:.4f}")
+    return best_assignment, best_value, history
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--trials", type=int, default=4)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--stagnant", type=int, default=4)
+    parser.add_argument("--space", action="append", default=[],
+                        help="key=v1,v2 (repeatable); default: reference space")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args()
+
+    space = parse_space(args.space) if args.space else DEFAULT_SPACE
+    run_sweep(space, args.trials, args.overrides, seed=args.seed,
+              max_stagnant=args.stagnant)
