@@ -100,6 +100,7 @@ CFG_SCHEMA: Dict[str, Any] = {
     "tpu": {
         "compute_dtype": str,        # 'float32' | 'bfloat16'
         "online_images": bool,       # decode JPEGs on the fly (no h5 cache)
+        "native_loader": bool,       # C++ decode pipeline (native/)
         "mesh": {
             "data": int,             # -1 = all remaining devices
             "model": int,

@@ -88,7 +88,12 @@ def evaluate_hw2(overrides=()) -> float:
     if online_images:
         from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher
 
-        loader = JpegLoader(
+        loader_cls = JpegLoader
+        if cfg["tpu"]["native_loader"]:
+            from dl_vqa_tpu.data.native_loader import NativeJpegLoader
+
+            loader_cls = NativeJpegLoader
+        loader = loader_cls(
             os.path.join(
                 profile["paths"]["base_path"], profile["val_paths"]["imgs"]
             ),

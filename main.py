@@ -116,8 +116,14 @@ def main(cfg: dict) -> float:
     if online_images:
         from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher
 
+        loader_cls = JpegLoader
+        if cfg["tpu"]["native_loader"]:
+            from dl_vqa_tpu.data.native_loader import NativeJpegLoader
+
+            loader_cls = NativeJpegLoader
+
         def make_loader(split):
-            return JpegLoader(
+            return loader_cls(
                 os.path.join(
                     profile["paths"]["base_path"], profile[split]["imgs"]
                 ),

@@ -1,0 +1,65 @@
+"""Native (C++) image pipeline vs the PIL path."""
+
+import numpy as np
+import pytest
+
+from dl_vqa_tpu.data import synthetic
+from dl_vqa_tpu.data.native_loader import native_available
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("native_imgs")
+    ids = list(range(500, 510))
+    synthetic.generate_coco_images(
+        str(root), ids, size=(320, 240), data_subtype="val2014"
+    )
+    return str(root), ids
+
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library not buildable here"
+)
+
+
+def test_native_matches_pil_within_one_lsb(image_dir):
+    from dl_vqa_tpu.data.native_loader import NativeJpegLoader
+    from dl_vqa_tpu.data.online import JpegLoader
+
+    root, ids = image_dir
+    pil = JpegLoader(root, image_size=96, central_fraction=0.875)
+    native = NativeJpegLoader(root, image_size=96, central_fraction=0.875)
+    a = pil.load_batch(np.array(ids))
+    b = native.load_batch(np.array(ids))
+    assert a.shape == b.shape == (len(ids), 96, 96, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_native_failure_reporting(image_dir):
+    from dl_vqa_tpu.data.native_loader import NativeJpegLoader
+
+    root, ids = image_dir
+    native = NativeJpegLoader(root, image_size=96, central_fraction=0.875)
+    native._path_by_id[99999] = b"/nonexistent/file.jpg"
+    with pytest.raises(IOError, match="failed to decode"):
+        native.load_batch(np.array([ids[0], 99999]))
+
+
+def test_native_portrait_and_landscape(image_dir):
+    """Shorter-edge resize must handle both orientations."""
+    from dl_vqa_tpu.data.native_loader import NativeJpegLoader
+    from dl_vqa_tpu.data.online import JpegLoader
+
+    root = image_dir[0]
+    ids = [700, 701]
+    synthetic.generate_coco_images(
+        root, [700], size=(200, 400), data_subtype="val2014"
+    )
+    synthetic.generate_coco_images(
+        root, [701], size=(400, 200), data_subtype="val2014"
+    )
+    pil = JpegLoader(root, image_size=64, central_fraction=0.875)
+    native = NativeJpegLoader(root, image_size=64, central_fraction=0.875)
+    a = pil.load_batch(np.array(ids))
+    b = native.load_batch(np.array(ids))
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
