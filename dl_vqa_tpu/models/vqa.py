@@ -274,15 +274,12 @@ def attention_logits(params: Params, cfg: ModelConfig, v: jnp.ndarray,
 
 def attention_pool(v: jnp.ndarray, att: jnp.ndarray) -> jnp.ndarray:
     """Softmax over spatial positions per glimpse, weighted feature sum,
-    glimpse concat -> [B, G*C] (ref ``model.py:208-221``)."""
-    batch, h, w, channels = v.shape
-    glimpses = att.shape[-1]
-    v_flat = v.reshape(batch, h * w, channels).astype(jnp.float32)
-    att_flat = att.reshape(batch, h * w, glimpses).astype(jnp.float32)
-    weights = jax.nn.softmax(att_flat, axis=1)
-    pooled = jnp.einsum("bsg,bsc->bgc", weights, v_flat,
-                        preferred_element_type=jnp.float32)
-    return pooled.reshape(batch, glimpses * channels)
+    glimpse concat -> [B, G*C] (ref ``model.py:208-221``). Routed through
+    the central dispatch in :mod:`dl_vqa_tpu.ops.attention_pool` (XLA by
+    measurement; a Pallas kernel is available)."""
+    from dl_vqa_tpu.ops.attention_pool import attention_pool_fused
+
+    return attention_pool_fused(v, att)
 
 
 def classifier(params: Params, cfg: ModelConfig, x: jnp.ndarray,

@@ -1,0 +1,126 @@
+"""Fused softmax-weighted attention pooling (Pallas TPU kernel).
+
+Computes the reference's attention application
+(``/root/reference/models/model.py:208-221``): per glimpse, a softmax over
+the flattened spatial grid and a weighted sum of image features, glimpses
+concatenated — in ONE kernel, so the softmax weights ``[B, S, G]`` and the
+broadcasted product never round-trip through HBM.
+
+Dispatch is measurement-driven like the other kernels: the XLA reference
+is used off-TPU and wherever it wins.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["attention_pool_reference", "attention_pool_pallas",
+           "attention_pool_fused"]
+
+
+def attention_pool_reference(v: jnp.ndarray, att: jnp.ndarray) -> jnp.ndarray:
+    """v: [B, H, W, C]; att: [B, H, W, G] -> [B, G*C] (f32)."""
+    batch, h, w, channels = v.shape
+    glimpses = att.shape[-1]
+    v_flat = v.reshape(batch, h * w, channels).astype(jnp.float32)
+    att_flat = att.reshape(batch, h * w, glimpses).astype(jnp.float32)
+    weights = jax.nn.softmax(att_flat, axis=1)
+    pooled = jnp.einsum("bsg,bsc->bgc", weights, v_flat,
+                        preferred_element_type=jnp.float32)
+    return pooled.reshape(batch, glimpses * channels)
+
+
+def _pool_kernel(v_ref, att_ref, out_ref, *, glimpses, channels, spatial):
+    att = att_ref[:].astype(jnp.float32)      # [bt, S, G]
+    bt = att.shape[0]
+    # Chunk the weighted reduction over the spatial axis: only one small
+    # f32 product tile is live at a time (a whole-block f32 upcast of v
+    # would blow the VMEM budget; chunks are read straight from the ref so
+    # the compiler cannot CSE them into a full copy).
+    n_chunks = 4 if spatial % 4 == 0 else (2 if spatial % 2 == 0 else 1)
+    chunk = spatial // n_chunks
+    for g in range(glimpses):                 # static unroll (G is tiny)
+        logits = att[:, :, g]                 # [bt, S]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = e / jnp.sum(e, axis=1, keepdims=True)
+        pooled = jnp.zeros((bt, channels), dtype=jnp.float32)
+        for s0 in range(0, spatial, chunk):
+            vv = v_ref[:, s0 : s0 + chunk, :].astype(jnp.float32)
+            ws = jax.lax.slice_in_dim(w, s0, s0 + chunk, axis=1)
+            pooled = pooled + jnp.sum(vv * ws[:, :, None], axis=1)
+        out_ref[:, g * channels : (g + 1) * channels] = pooled
+
+
+def attention_pool_pallas(v: jnp.ndarray, att: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, h, w, channels = v.shape
+    glimpses = att.shape[-1]
+    spatial = h * w
+    v_flat = v.reshape(batch, spatial, channels)
+    att_flat = att.reshape(batch, spatial, glimpses)
+
+    # Batch tile: v block (double-buffered) plus per-glimpse f32
+    # accumulation; the output block's sublane dim needs >= 8 rows.
+    bt = batch
+    per_sample = spatial * channels * max(v.dtype.itemsize, 2)
+    for cand in (64, 32, 16, 8):
+        if batch % cand == 0 and cand * per_sample <= 3 * 1024 * 1024:
+            bt = cand
+            break
+
+    kernel = functools.partial(
+        _pool_kernel, glimpses=glimpses, channels=channels, spatial=spatial
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // bt,),
+        out_shape=jax.ShapeDtypeStruct((batch, glimpses * channels),
+                                       jnp.float32),
+        in_specs=[
+            pl.BlockSpec((bt, spatial, channels), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, spatial, glimpses), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, glimpses * channels), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(v_flat, att_flat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _pallas_with_grad(v, att, interpret):
+    return attention_pool_pallas(v, att, interpret)
+
+
+def _pool_fwd(v, att, interpret):
+    return attention_pool_pallas(v, att, interpret), (v, att)
+
+
+def _pool_bwd(interpret, residuals, g):
+    v, att = residuals
+    _, vjp = jax.vjp(attention_pool_reference, v, att)
+    return vjp(g)
+
+
+_pallas_with_grad.defvjp(_pool_fwd, _pool_bwd)
+
+
+def attention_pool_fused(v: jnp.ndarray, att: jnp.ndarray,
+                         use_pallas: bool = False,
+                         interpret: bool = False) -> jnp.ndarray:
+    """``use_pallas=False`` is the measured default: XLA fuses the softmax
+    into a batched MXU einsum and wins on v5e (1.3ms vs 2.2ms at batch
+    512, 26x26x256, 2 glimpses — the Pallas version is VPU-bound because
+    Mosaic has no batched matvec). Kept as an optional path."""
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas and (on_tpu or interpret):
+        return _pallas_with_grad(v, att, interpret)
+    return attention_pool_reference(v, att)

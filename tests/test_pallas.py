@@ -111,3 +111,43 @@ def test_lstm_pallas_gradients_match(rng):
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    atol=1e-5, rtol=1e-5)
+
+
+# ------------------------------------------------------------- attention pool
+
+def test_attention_pool_matches_reference(rng):
+    from dl_vqa_tpu.ops.attention_pool import (
+        attention_pool_pallas,
+        attention_pool_reference,
+    )
+
+    v = jnp.asarray(rng.standard_normal((16, 6, 6, 32)), dtype=jnp.float32)
+    att = jnp.asarray(rng.standard_normal((16, 6, 6, 2)), dtype=jnp.float32)
+    ref = attention_pool_reference(v, att)
+    out = attention_pool_pallas(v, att, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_attention_pool_gradients_match(rng):
+    from dl_vqa_tpu.ops.attention_pool import (
+        attention_pool_fused,
+        attention_pool_reference,
+    )
+
+    v = jnp.asarray(rng.standard_normal((8, 4, 4, 16)), dtype=jnp.float32)
+    att = jnp.asarray(rng.standard_normal((8, 4, 4, 2)), dtype=jnp.float32)
+
+    def loss_p(v, att):
+        return jnp.sum(
+            attention_pool_fused(v, att, use_pallas=True, interpret=True) ** 2
+        )
+
+    def loss_r(v, att):
+        return jnp.sum(attention_pool_reference(v, att) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(v, att)
+    gr = jax.grad(loss_r, argnums=(0, 1))(v, att)
+    for a, e in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-5)
