@@ -47,15 +47,20 @@ def conv_relu_pool_reference(
     b: jnp.ndarray,  # [Cout]
     stride: int = 1,
 ) -> jnp.ndarray:
-    """Plain XLA implementation (used for grads, CPU, and stride != 1)."""
+    """Plain XLA implementation (used for grads, CPU, and stride != 1).
+
+    The conv stays dtype-uniform (operands AND output in x.dtype): a
+    mixed f32-preferred output makes the conv transpose rule reject the
+    f32 cotangent against bf16 weights during backward. TPU convs
+    accumulate in f32 internally regardless; the bias add runs in f32.
+    """
     out = jax.lax.conv_general_dilated(
-        x, w,
+        x, w.astype(x.dtype),
         window_strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    out = jax.nn.relu(out + b).astype(x.dtype)
+    out = jax.nn.relu(out.astype(jnp.float32) + b).astype(x.dtype)
     return jax.lax.reduce_window(
         out, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 2, 2, 1),

@@ -98,6 +98,7 @@ def train(
     state_sharding=None,
     prefetch_depth: int = 2,
     profile_dir: str = "",
+    remat: bool = False,
 ) -> Dict[str, float]:
     """Train to convergence / early stop; returns the reference's metrics
     dict (``Metrics/BestAccuracy`` etc.)."""
@@ -109,7 +110,7 @@ def train(
         state, restored_epoch = restore_state(state, opt_restore_path)
         logger.write(f"Restored full train state, epoch: {restored_epoch}")
 
-    train_step = make_train_step(model_cfg, tx, compute_dtype)
+    train_step = make_train_step(model_cfg, tx, compute_dtype, remat=remat)
     eval_step = make_eval_step(model_cfg, compute_dtype)
     rng = jax.random.PRNGKey(seed)
 

@@ -74,11 +74,14 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     in_shardings=None,
     out_shardings=None,
+    remat: bool = False,
 ):
     """Build the jitted fused train step.
 
     ``train_step(state, batch, rng) -> (state, metrics)``; the state is
-    donated so the update happens in place on device.
+    donated so the update happens in place on device. ``remat=True``
+    rematerializes the forward during backward (trades FLOPs for HBM —
+    for bigger batches / deeper conv stacks).
     """
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
@@ -88,6 +91,9 @@ def make_train_step(
             return _forward_loss(
                 params, cfg, batch, True, step_rng, compute_dtype
             )
+
+        if remat:
+            loss_fn = jax.checkpoint(loss_fn)
 
         (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

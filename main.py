@@ -154,6 +154,7 @@ def main(cfg: dict) -> float:
         batch_sharding=b_sharding,
         prefetch_depth=cfg["tpu"]["prefetch_depth"],
         profile_dir=cfg["tpu"]["profile_dir"],
+        remat=cfg["tpu"]["remat"],
     )
 
     logger.report_metrics_hyper_params(
