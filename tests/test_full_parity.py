@@ -1,0 +1,176 @@
+"""Full-stack accuracy parity vs the PyTorch reference.
+
+The BASELINE criterion is <=0.1% VQA-accuracy delta with the SAME
+checkpoint and data. This test runs the complete eval path of BOTH
+frameworks on an identical synthetic corpus and checkpoint:
+
+* the reference side uses the reference's OWN ``VQA_dataset`` (reading
+  our vocab.json / h5 cache, which are format-compatible) and its OWN
+  ``VqaNet`` — loss/metric computed with the reference's run_batch
+  semantics (re-derived in numpy; the reference's metric helper is
+  CUDA-bound);
+* our side loads the reference's state_dict through the torch-import
+  bridge and runs the jitted eval step over the same batches.
+
+Accuracies must agree exactly (both f32, same argmax).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF_ROOT = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference not available"
+)
+if REF_ROOT not in sys.path:
+    sys.path.insert(0, REF_ROOT)
+
+IMAGE_SIZE = 64
+BATCH = 8
+
+
+class _SilentLogger:
+    def write(self, *a, **k):
+        pass
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from dl_vqa_tpu.data import synthetic
+
+    root = tmp_path_factory.mktemp("parity_corpus")
+    return synthetic.make_synthetic_corpus(
+        str(root), n_train=40, n_val=24, n_images=8, image_size=IMAGE_SIZE,
+        max_answers=15,
+    )
+
+
+def _train_cfg(max_answers):
+    return {
+        "text": {
+            "question_features": 32, "embedding_features": 16,
+            "dropout": 0.0, "num_lstm_layers": 1, "bidirectional": True,
+        },
+        "image": {
+            "kernel_size": 3, "dropout": 0.0,
+            "num_channels": [3, 8, 12, 16], "stride": 1,
+            "do_skip_connection": False,
+        },
+        "attention": {"hidden_dim": 24, "glimpses": 2, "do_option": "+",
+                      "dropout": 0.0},
+        "classifier": {"hidden_dim": 20, "dropout": 0.0},
+        "max_answers": max_answers,
+    }
+
+
+def _reference_eval(corpus, tcfg, model):
+    """Eval with the reference's dataset + model; loss/score via the
+    reference's run_batch semantics (train.py:190-207, train_utils.py:25)."""
+    from preprocessing.data_preprocessing import VQA_dataset  # reference
+
+    ds = VQA_dataset(
+        data_paths={
+            "questions": "val_questions.json",
+            "answers": "val_annotations.json",
+            "processed_imgs": corpus["val_paths"]["processed_imgs"],
+        },
+        other_paths={
+            "base_path": corpus["paths"]["base_path"],
+            "vocab_path": corpus["paths"]["vocab_path"],
+        },
+        logger=_SilentLogger(),
+        answerable_only=False,
+    )
+    model.eval()
+    total_score, total_loss, n_batches = 0.0, 0.0, 0
+    with torch.no_grad():
+        for start in range(0, len(ds), BATCH):
+            items = [ds[i] for i in range(start, min(start + BATCH, len(ds)))]
+            v = torch.stack([it[0] for it in items])
+            q = torch.stack([it[1] for it in items])
+            a_idx = torch.stack([it[2] for it in items]).numpy()
+            a_val = torch.stack([it[3] for it in items]).numpy()
+            q_len = torch.tensor([it[6] for it in items])
+            logits = model(v, q, q_len).numpy()
+
+            log_probs = logits - logits.max(axis=1, keepdims=True)
+            log_probs = log_probs - np.log(
+                np.exp(log_probs).sum(axis=1, keepdims=True)
+            )
+            nll = -log_probs
+            batch_loss = 0.0
+            batch_score = 0.0
+            for i in range(len(items)):
+                pred = int(logits[i].argmax())
+                agree = 0
+                for k in range(a_idx.shape[1]):
+                    if a_idx[i, k] > 0:
+                        batch_loss += (
+                            nll[i, a_idx[i, k] - 1] * a_val[i, k] / 10.0
+                        )
+                        if a_idx[i, k] - 1 == pred:
+                            agree = a_val[i, k]
+                batch_score += min(agree * 0.3, 1.0)
+            total_loss += batch_loss / len(items)
+            total_score += batch_score
+            n_batches += 1
+    return (
+        total_score / len(ds) * 100.0,
+        total_loss / n_batches,
+        len(ds),
+    )
+
+
+def _our_eval(corpus, tcfg, state_dict):
+    from dl_vqa_tpu.data.dataset import VQADataset
+    from dl_vqa_tpu.data.pipeline import Batcher
+    from dl_vqa_tpu.models import ModelConfig, vqa
+    from dl_vqa_tpu.train import make_eval_step
+    from dl_vqa_tpu.train.loop import evaluate
+    from dl_vqa_tpu.utils.torch_import import params_from_torch_state
+
+    ds = VQADataset(
+        data_paths=corpus["val_paths"], other_paths=corpus["paths"]
+    )
+    cfg = ModelConfig.from_cfg(
+        {**tcfg, "image_size": IMAGE_SIZE, "central_fraction": 0.875,
+         "n_epochs_stop": 1, "num_epochs": 1, "batch_size": BATCH,
+         "save_model": False,
+         "lr": {"lr_value": 1e-3, "lr_decay": 15, "lr_gamma": 0.1,
+                "lr_step_size": 3}},
+        num_tokens=ds.num_tokens,
+    )
+    params = params_from_torch_state(state_dict)
+    eval_step = make_eval_step(cfg, compute_dtype=jnp.float32)
+    return evaluate(eval_step, params, Batcher(ds, BATCH))
+
+
+def test_same_checkpoint_same_accuracy(corpus):
+    from models.model import VqaNet  # the PyTorch reference
+    from dl_vqa_tpu.data.dataset import VQADataset
+
+    ds_probe = VQADataset(
+        data_paths=corpus["val_paths"], other_paths=corpus["paths"]
+    )
+    tcfg = _train_cfg(max_answers=len(ds_probe.answer_vocab))
+
+    torch.manual_seed(42)
+    ref_model = VqaNet(tcfg, embedding_tokens=ds_probe.num_tokens)
+
+    ref_score, ref_loss, n = _reference_eval(corpus, tcfg, ref_model)
+    our_score, our_loss = _our_eval(corpus, tcfg, ref_model.state_dict())
+
+    # BASELINE criterion is <=0.1% accuracy delta; f32 end-to-end should be
+    # essentially exact.
+    assert our_score == pytest.approx(ref_score, abs=1e-3), (
+        ref_score, our_score,
+    )
+    assert our_loss == pytest.approx(ref_loss, rel=1e-4)
