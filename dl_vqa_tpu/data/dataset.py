@@ -130,6 +130,10 @@ class VQADataset:
             self.answer_values[i, :k] = val
 
         log("Indexing images")
+        self.question_ids = np.array(
+            [q["question_id"] for q in questions_json["questions"]],
+            dtype=np.int64,
+        )
         self.image_ids = np.array(
             [q["image_id"] for q in questions_json["questions"]], dtype=np.int64
         )
@@ -148,10 +152,7 @@ class VQADataset:
         if answerable_only:
             log("Filtering to answerable-only samples")
             keep = np.nonzero(self.answer_lengths > 0)[0]
-            for name in (
-                "questions", "question_lengths", "answer_indices",
-                "answer_values", "answer_lengths", "image_ids", "h5_rows",
-            ):
+            for name in self._ARRAY_FIELDS:
                 setattr(self, name, getattr(self, name)[keep])
 
         self._h5 = None  # lazy per-process handle (safe across forks)
@@ -220,7 +221,7 @@ class VQADataset:
 
     _ARRAY_FIELDS = (
         "questions", "question_lengths", "answer_indices", "answer_values",
-        "answer_lengths", "image_ids", "h5_rows",
+        "answer_lengths", "question_ids", "image_ids", "h5_rows",
     )
 
     def save(self, path: str) -> None:

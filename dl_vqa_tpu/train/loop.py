@@ -186,6 +186,17 @@ def train(
         else:
             epochs_no_improve += 1
 
+        if train_params.save_model:
+            # Crash recovery: overwrite a rolling full-state checkpoint
+            # (params + Adam moments + step) every epoch.
+            from dl_vqa_tpu.utils import checkpoint as ckpt
+            import os
+
+            ckpt.save_checkpoint(
+                os.path.join(logger.exp_dir, "last.ckpt"), state,
+                epoch=epoch, model_cfg=model_cfg,
+            )
+
         metrics = get_metrics(best_eval_score, eval_score, train_loss)
         if epoch > 3 and epochs_no_improve == train_params.n_epochs_stop:
             logger.write("Early stopping!")

@@ -1,0 +1,212 @@
+"""Inference entry point: answer questions about images.
+
+Goes beyond the reference's train/eval scripts with a serving-style API:
+
+    python predict.py main.small.paths.pretrained_model_path=./model.ckpt \
+        --image cat.jpg --question "what animal is this?"
+
+    # official VQA submission format over a whole split:
+    python predict.py --submission results.json [overrides...]
+
+The Predictor class is the library surface: jitted batched forward,
+tokenization through the training vocab, top-k answer decoding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional, Sequence, Tuple
+
+
+class Predictor:
+    """Batched VQA inference on a trained checkpoint."""
+
+    def __init__(self, cfg: dict, checkpoint_path: str, vocab_path: str,
+                 num_tokens: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from dl_vqa_tpu.data.vocab import load_vocab
+        from dl_vqa_tpu.models import ModelConfig, vqa
+        from dl_vqa_tpu.utils.checkpoint import load_params
+
+        self.vocab = load_vocab(vocab_path)
+        self.question_vocab = self.vocab["question"]
+        self.answer_by_id = {
+            idx: ans for ans, idx in self.vocab["answer"].items()
+        }
+        self.cfg = cfg
+        self.image_size = cfg["train"]["image_size"]
+        self.central_fraction = cfg["train"]["central_fraction"]
+
+        self.model_cfg = ModelConfig.from_cfg(
+            cfg["train"],
+            num_tokens or (len(self.question_vocab) + 1),
+        )
+        template = vqa.init(jax.random.PRNGKey(0), self.model_cfg)
+        self.params = load_params(checkpoint_path, template)
+        compute_dtype = (
+            jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16"
+            else jnp.float32
+        )
+
+        def forward(params, images, questions, lengths):
+            return vqa.apply(
+                params, self.model_cfg, images, questions, lengths,
+                train=False, compute_dtype=compute_dtype,
+            )
+
+        self._forward = jax.jit(forward)
+
+    # ------------------------------------------------------------- text
+
+    def encode_questions(self, questions: Sequence[str], max_len: int = 23):
+        import numpy as np
+
+        from dl_vqa_tpu.data.text import normalize_question
+
+        encoded = np.zeros((len(questions), max_len), dtype=np.int32)
+        lengths = np.zeros(len(questions), dtype=np.int32)
+        for i, q in enumerate(questions):
+            if not q.endswith("?"):
+                q = q + "?"
+            tokens = normalize_question(q)[:max_len]
+            for j, tok in enumerate(tokens):
+                encoded[i, j] = self.question_vocab.get(tok, 0)
+            lengths[i] = max(len(tokens), 1)
+        return encoded, lengths
+
+    # ------------------------------------------------------------- images
+
+    def load_images(self, paths: Sequence[str]):
+        import numpy as np
+        from PIL import Image
+
+        from dl_vqa_tpu.data.images import preprocess_pil_image
+
+        batch = []
+        for path in paths:
+            with Image.open(path) as img:
+                chw = preprocess_pil_image(
+                    img, self.image_size, self.central_fraction
+                )
+            batch.append(chw.transpose(1, 2, 0))  # NHWC
+        return np.stack(batch).astype(np.float32)
+
+    # ------------------------------------------------------------- predict
+
+    def predict(self, image_paths: Sequence[str], questions: Sequence[str],
+                top_k: int = 5) -> List[List[Tuple[str, float]]]:
+        """Top-k (answer, probability) per (image, question) pair."""
+        import jax
+        import numpy as np
+
+        assert len(image_paths) == len(questions)
+        images = self.load_images(image_paths)
+        encoded, lengths = self.encode_questions(questions)
+        logits = np.asarray(
+            self._forward(self.params, images, encoded, lengths)
+        )
+        probs = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs /= probs.sum(axis=1, keepdims=True)
+        results = []
+        for row in probs:
+            order = np.argsort(row)[::-1][:top_k]
+            results.append(
+                [(self.answer_by_id.get(int(i) + 1, "<unk>"), float(row[i]))
+                 for i in order]
+            )
+        return results
+
+    def predict_dataset_submission(self, dataset, batcher) -> List[dict]:
+        """Official VQA submission entries [{'question_id', 'answer'}]
+        over an encoded dataset (argmax answers). The batcher must iterate
+        in dataset order (shuffle=False)."""
+        import numpy as np
+
+        from dl_vqa_tpu.data.pipeline import prefetch_to_device
+
+        answers = []
+        offset = 0
+        for batch in prefetch_to_device(iter(batcher), None, depth=2):
+            logits = np.asarray(
+                self._forward(
+                    self.params, batch["images"], batch["questions"],
+                    batch["lengths"],
+                )
+            )
+            mask = np.asarray(batch["mask"])
+            preds = logits.argmax(axis=1)
+            for i in range(len(preds)):
+                if not mask[i]:
+                    continue
+                answers.append(
+                    {
+                        "question_id": int(dataset.question_ids[offset + i]),
+                        "answer": self.answer_by_id.get(
+                            int(preds[i]) + 1, "<unk>"
+                        ),
+                    }
+                )
+            offset += int(mask.sum())
+        return answers
+
+
+def main(argv=None) -> int:
+    from dl_vqa_tpu import config as config_mod
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image", action="append", default=[])
+    parser.add_argument("--question", action="append", default=[])
+    parser.add_argument("--top-k", type=int, default=5)
+    parser.add_argument("--submission", default="",
+                        help="write official-format answers for the val split")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    cfg = config_mod.compose("config_eval", overrides=args.overrides)
+    profile = cfg["main"]["full" if cfg["main"]["use_full"] else "small"]
+    predictor = Predictor(
+        cfg,
+        checkpoint_path=profile["paths"]["pretrained_model_path"],
+        vocab_path=profile["paths"]["vocab_path"],
+    )
+
+    if args.submission:
+        from dl_vqa_tpu.data.dataset import VQADataset
+        from dl_vqa_tpu.data.pipeline import Batcher
+
+        cache = VQADataset.cache_path(profile["val_paths"]["vqaDataset"])
+        dataset = (
+            VQADataset.load(cache) if os.path.exists(cache)
+            else VQADataset(
+                data_paths=profile["val_paths"], other_paths=profile["paths"]
+            )
+        )
+        batcher = Batcher(dataset, cfg["train"]["batch_size"])
+        entries = predictor.predict_dataset_submission(dataset, batcher)
+        with open(args.submission, "w") as fd:
+            json.dump(entries, fd)
+        print(f"wrote {len(entries)} answers to {args.submission}")
+        return 0
+
+    if args.image:
+        questions = args.question or ["what is this?"] * len(args.image)
+        for path, question, preds in zip(
+            args.image, questions,
+            predictor.predict(args.image, questions, args.top_k),
+        ):
+            print(f"{path} | {question}")
+            for answer, prob in preds:
+                print(f"  {prob:6.3f}  {answer}")
+        return 0
+
+    parser.error("provide --image/--question pairs or --submission")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,104 @@
+"""Inference API: Predictor top-k answers and official submission format."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from dl_vqa_tpu.data import synthetic
+from dl_vqa_tpu.data.dataset import VQADataset
+from dl_vqa_tpu.data.pipeline import Batcher
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from dl_vqa_tpu import config as config_mod
+    from dl_vqa_tpu.models import ModelConfig, vqa
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    root = tmp_path_factory.mktemp("predict")
+    profile = synthetic.make_synthetic_corpus(
+        str(root / "data"), n_train=24, n_val=12, n_images=5, image_size=32,
+        max_answers=12,
+    )
+    overrides = [
+        "main.use_full=false",
+        "train.max_answers=12",
+        "train.image_size=32",
+        "train.text.question_features=16",
+        "train.text.embedding_features=8",
+        "train.image.num_channels=[3, 4, 6]",
+        "train.attention.hidden_dim=12",
+        "train.classifier.hidden_dim=16",
+        "tpu.compute_dtype=float32",
+        f"main.small.paths.vocab_path={profile['paths']['vocab_path']}",
+        f"main.small.paths.pretrained_model_path={root}/model.ckpt",
+    ]
+    cfg = config_mod.compose("config_eval", overrides=overrides)
+
+    ds = VQADataset(
+        data_paths=profile["val_paths"], other_paths=profile["paths"]
+    )
+    model_cfg = ModelConfig.from_cfg(cfg["train"], ds.num_tokens)
+    params = vqa.init(jax.random.PRNGKey(0), model_cfg)
+    ckpt.save_checkpoint(str(root / "model.ckpt"), params,
+                         model_cfg=model_cfg)
+    return cfg, profile, ds, str(root)
+
+
+def test_predict_top_k(setup):
+    from predict import Predictor
+
+    cfg, profile, ds, root = setup
+    predictor = Predictor(
+        cfg, checkpoint_path=f"{root}/model.ckpt",
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    img_dir = os.path.join(profile["paths"]["base_path"], "val2014")
+    image = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    results = predictor.predict(
+        [image, image], ["what color is the cat?", "how many people"],
+        top_k=3,
+    )
+    assert len(results) == 2 and len(results[0]) == 3
+    answers, probs = zip(*results[0])
+    assert all(isinstance(a, str) for a in answers)
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    assert sorted(probs, reverse=True) == list(probs)
+
+
+def test_submission_format(setup):
+    from predict import Predictor
+
+    cfg, profile, ds, root = setup
+    predictor = Predictor(
+        cfg, checkpoint_path=f"{root}/model.ckpt",
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    batcher = Batcher(ds, batch_size=5)
+    entries = predictor.predict_dataset_submission(ds, batcher)
+    assert len(entries) == len(ds)
+    assert {e["question_id"] for e in entries} == set(
+        ds.question_ids.tolist()
+    )
+    assert all(isinstance(e["answer"], str) for e in entries)
+    json.dumps(entries)  # serializable
+
+
+def test_question_mark_optional(setup):
+    from predict import Predictor
+
+    cfg, profile, ds, root = setup
+    predictor = Predictor(
+        cfg, checkpoint_path=f"{root}/model.ckpt",
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    enc1, len1 = predictor.encode_questions(["what is the cat"])
+    enc2, len2 = predictor.encode_questions(["what is the cat?"])
+    np.testing.assert_array_equal(enc1, enc2)
