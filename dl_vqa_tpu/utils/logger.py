@@ -90,6 +90,21 @@ class TrainLogger:
                                     metrics: Dict) -> None:
         self.tensorboard_writer.add_hparams(hyper_params, metrics)
 
+    def report_graph(self, params, model_cfg=None) -> None:
+        """Model-structure report (counterpart of the reference's
+        TensorBoard graph hook, ref train_logger.py:87-93): logs the
+        per-subnet parameter summary as TensorBoard text."""
+        from dl_vqa_tpu.models import vqa
+
+        text = vqa.summary(params)
+        if model_cfg is not None:
+            text += f"\n\n{model_cfg}"
+        try:
+            self.tensorboard_writer.add_text("model/graph", text, 0)
+        except AttributeError:
+            pass
+        self.write(text)
+
     # ----------------------------------------------------------- checkpoint
 
     def save_model(self, state, epoch: int, model_cfg=None) -> str:
