@@ -132,29 +132,6 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
 
 # ---------------------------------------------------------------- submodules
 
-def _conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
-            stride: int) -> jnp.ndarray:
-    out = jax.lax.conv_general_dilated(
-        x, w,
-        window_strides=(stride, stride),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    if b is not None:
-        out = out + b
-    return out
-
-
-def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    )
-
-
 def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
                   train: bool, rng, dtype) -> jnp.ndarray:
     """Conv stack (conv->relu->maxpool per block, dropout at the end),
