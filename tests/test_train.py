@@ -228,3 +228,43 @@ def test_end_to_end_entrypoints(tmp_path, monkeypatch):
     ]
     score = eval_main.evaluate_hw2(eval_overrides)
     assert isinstance(score, float) and 0.0 <= score <= 100.0
+
+
+def test_resume_equals_uninterrupted_training(tmp_path):
+    """Crash-recovery guarantee: train 2 steps straight == train 1 step,
+    checkpoint, restore, train 1 more (params + Adam moments + step)."""
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    cfg = _tiny_cfg()
+    params = vqa.init(jax.random.PRNGKey(5), cfg)
+    params = jax.tree_util.tree_map(np.asarray, params)  # host copies
+    tx = make_optimizer(1e-3)
+    rng = jax.random.PRNGKey(3)
+    batch1 = _tiny_batch(cfg, seed=11)
+    batch2 = _tiny_batch(cfg, seed=12)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+
+    # straight-through
+    state_a = create_train_state(params, tx)
+    state_a, _ = step(state_a, batch1, rng)
+    state_a, ma = step(state_a, batch2, rng)
+
+    # interrupted + resumed
+    state_b = create_train_state(params, tx)
+    state_b, _ = step(state_b, batch1, rng)
+    path = str(tmp_path / "resume.npz")
+    ckpt.save_checkpoint(path, state_b, epoch=0)
+    template = create_train_state(
+        jax.tree_util.tree_map(np.asarray, vqa.init(jax.random.PRNGKey(9), cfg)),
+        tx,
+    )
+    state_b, _ = ckpt.restore_state(template, path)
+    state_b, mb = step(state_b, batch2, rng)
+
+    assert float(ma["loss"]) == pytest.approx(float(mb["loss"]), rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
