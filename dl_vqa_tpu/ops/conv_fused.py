@@ -186,6 +186,196 @@ def conv_relu_pool_pallas(
     )(x, w2, bias)
 
 
+# ----------------------------------------------- fused bias+relu+maxpool
+
+def _relu_pool_kernel(y_ref, b2_ref, out_ref, *, hp, wp, channels):
+    """One row-chunk of one image, input pre-merged to [2*tr, Wp, 2C]
+    (W-pairs sit in lane halves after the free XLA view reshape)."""
+    x = y_ref[0].astype(jnp.float32) + b2_ref[:]          # [2tr, Wp, 2C]
+    x = jnp.maximum(x, 0.0)
+    m = jnp.maximum(x[:, :, :channels], x[:, :, channels:])   # W-pool
+    tr = m.shape[0] // 2
+    pooled = m.reshape(tr, 2, m.shape[1], channels).max(axis=1)  # H-pool
+    out_ref[0] = pooled.astype(out_ref.dtype)
+
+
+def relu_maxpool_pallas(y: jnp.ndarray, b: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused bias + ReLU + 2x2 maxpool over a conv output ``[B, Hc, Wc,
+    C]`` -> ``[B, Hc//2, Wc//2, C]``.
+
+    The W-pair merge ``[B, Hc, Wc, C] -> [B, Hc, Wc/2, 2C]`` happens in
+    XLA outside the kernel — inside, pooling is a lane-half max plus an
+    outer-dim split, both supported for any C.
+
+    STATUS: correct (tested) but NOT a win on v5e — the merge reshape is
+    a physical relayout under TPU tiled layouts (not a free view), which
+    costs more than it saves. Kept as an experimental op.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, hc, wc, channels = y.shape
+    hp, wp = hc // 2, wc // 2
+    y = y[:, : 2 * hp, : 2 * wp, :].reshape(batch, 2 * hp, wp, 2 * channels)
+    bias2 = jnp.concatenate([b, b]).reshape(1, 2 * channels).astype(
+        jnp.float32
+    )
+
+    # Row chunking: keep the input block ~<= 3 MB; tr must divide hp.
+    tr = hp
+    row_bytes = wp * 2 * channels * y.dtype.itemsize
+    for cand in range(hp, 0, -1):
+        if hp % cand == 0 and 2 * cand * row_bytes <= 3 * 1024 * 1024:
+            tr = cand
+            break
+
+    kernel = functools.partial(_relu_pool_kernel, hp=hp, wp=wp,
+                               channels=channels)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, hp // tr),
+        out_shape=jax.ShapeDtypeStruct((batch, hp, wp, channels), y.dtype),
+        in_specs=[
+            pl.BlockSpec((1, 2 * tr, wp, 2 * channels),
+                         lambda i, r: (i, r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * channels), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tr, wp, channels),
+                               lambda i, r: (i, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=y.size * 3,
+            bytes_accessed=y.size * y.dtype.itemsize
+            + batch * hp * wp * channels * y.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(y, bias2)
+
+
+# --------------------------------------------- fused stem (conv+relu+pool)
+
+def _stem_kernel(p_ref, w2_ref, b4_ref, out_ref, *, kdim, cout, wp, wp_pad,
+                 hp, tr):
+    """One row-chunk: patches [tr, wp_pad, K] -> matmul [K, 4*cout] ->
+    bias + relu -> max over the 4 pooling phases (lane groups)."""
+    import jax.experimental.pallas as pl
+
+    patches = p_ref[0].reshape(tr * wp_pad, kdim)
+    acc = jnp.dot(patches, w2_ref[:], preferred_element_type=jnp.float32)
+    acc = jnp.maximum(acc + b4_ref[:], 0.0)
+    m = acc[:, :cout]
+    for phase in range(1, 4):
+        m = jnp.maximum(m, acc[:, phase * cout : (phase + 1) * cout])
+    out_ref[0] = m.reshape(tr, wp_pad, cout)[:, :wp, :].astype(out_ref.dtype)
+
+
+def conv_relu_pool_stem(x, w, b, interpret=False):
+    """Fully fused stem block (small cin, e.g. the RGB input): conv + bias
+    + relu + 2x2 maxpool with NO materialized conv output.
+
+    Trick: the pooled output at (i, j) is the max over the four conv
+    positions (2i+a, 2j+c), which together read a (k+1)x(k+1) input
+    window. XLA extracts those windows ONCE at pooled resolution via
+    strided slices (patches [B, Hp, Wp, (k+1)^2*cin] — for the RGB stem
+    that is ~5x smaller than the conv output it replaces), and one Pallas
+    matmul against a 4-phase weight matrix [(k+1)^2*cin, 4*cout] computes
+    all four phases in the lane dim; pooling is a 4-way lane-group max.
+
+    STATUS: correct (tested) but NOT a win on v5e — the XLA-side strided
+    patch extraction alone costs ~8 ms at batch 512 (cin=3 lane layouts
+    make strided slices relayout-bound), vs ~11 ms for the whole XLA
+    conv+pool. Kept as an experimental op; the model does not use it.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, h, width, cin = x.shape
+    ksize, _, _, cout = w.shape
+    hc, wc = h - ksize + 1, width - ksize + 1
+    hp, wp = hc // 2, wc // 2
+    win = ksize + 1
+    kdim = win * win * cin
+    wp_pad = -(-wp // 16) * 16
+
+    # Pad W so strided windows exist for the padded pooled columns, and H
+    # for the tail-chunk clamp used below.
+    need_w = 2 * (wp_pad - 1) + win
+    need_h = 2 * (hp - 1) + win
+    pad_w = max(0, need_w - width)
+    if pad_w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+
+    # Patches at pooled resolution: [B, hp, wp_pad, win*win*cin].
+    views = []
+    for di in range(win):
+        for dj in range(win):
+            views.append(
+                jax.lax.slice(
+                    x,
+                    (0, di, dj, 0),
+                    (batch, di + 2 * (hp - 1) + 1,
+                     dj + 2 * (wp_pad - 1) + 1, cin),
+                    (1, 2, 2, 1),
+                )
+            )
+    patches = jnp.concatenate(views, axis=-1)
+
+    # 4-phase weights: phase (a, c) holds w shifted by (a, c) inside the
+    # (k+1)x(k+1) window; zeros where the shifted filter has no tap.
+    w2 = jnp.zeros((kdim, 4 * cout), dtype=x.dtype)
+    for a in range(2):
+        for c in range(2):
+            phase = a * 2 + c
+            for di in range(ksize):
+                for dj in range(ksize):
+                    tap = (di + a) * win + (dj + c)
+                    w2 = w2.at[
+                        tap * cin : (tap + 1) * cin,
+                        phase * cout : (phase + 1) * cout,
+                    ].set(w[di, dj].astype(x.dtype))
+    b4 = jnp.tile(b.astype(jnp.float32), 4).reshape(1, 4 * cout)
+
+    # Row chunking: the largest divisor of hp whose f32 accumulator fits.
+    tr = 1
+    for cand in range(min(hp, 64), 0, -1):
+        if hp % cand == 0 and cand * wp_pad * 4 * cout * 4 <= 6 * 1024 * 1024:
+            tr = cand
+            break
+
+    kernel = functools.partial(
+        _stem_kernel, kdim=kdim, cout=cout, wp=wp, wp_pad=wp_pad, hp=hp,
+        tr=tr,
+    )
+    flops = 2 * batch * hp * wp_pad * kdim * 4 * cout
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, hp // tr),
+        out_shape=jax.ShapeDtypeStruct((batch, hp, wp, cout), x.dtype),
+        in_specs=[
+            pl.BlockSpec((1, tr, wp_pad, kdim), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kdim, 4 * cout), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * cout), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tr, wp, cout), lambda i, r: (i, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=patches.size * patches.dtype.itemsize
+            + batch * hp * wp * cout * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(patches, w2, b4)
+    return out
+
+
 # ------------------------------------------------------------- dispatch
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -151,3 +151,32 @@ def test_attention_pool_gradients_match(rng):
     for a, e in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    atol=1e-5, rtol=1e-5)
+
+
+# ------------------------------------------------- experimental stem kernels
+
+@pytest.mark.parametrize("h,k", [(34, 3), (21, 3), (28, 5)])
+def test_stem_patches_kernel_matches_reference(h, k, rng):
+    from dl_vqa_tpu.ops.conv_fused import conv_relu_pool_stem
+
+    x = jnp.asarray(rng.standard_normal((2, h, h, 3)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, 3, 8)) * 0.1,
+                    dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8) * 0.1, dtype=jnp.float32)
+    ref = conv_relu_pool_reference(x, w, b, 1)
+    out = conv_relu_pool_stem(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_relu_maxpool_kernel_matches_reference(rng):
+    from dl_vqa_tpu.ops.conv_fused import relu_maxpool_pallas
+
+    x = jnp.asarray(rng.standard_normal((2, 30, 30, 16)), dtype=jnp.float32)
+    w = jnp.asarray(np.eye(16)[None, None] * 1.0, dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16) * 0.1, dtype=jnp.float32)
+    # reference: identity 1x1 conv then relu+pool == relu_maxpool on x
+    ref = conv_relu_pool_reference(x, w, b, 1)
+    out = relu_maxpool_pallas(x, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
