@@ -137,6 +137,7 @@ class VQADataset:
         self.image_ids = np.array(
             [q["image_id"] for q in questions_json["questions"]], dtype=np.int64
         )
+        self.has_image_rows = bool(require_image_cache)
         if require_image_cache:
             self._image_id_to_row = self._build_image_row_map()
             self.h5_rows = np.array(
@@ -145,7 +146,8 @@ class VQADataset:
             )
         else:
             # Online-image mode: JPEGs are decoded on the fly by image_id;
-            # no h5 cache exists.
+            # no h5 cache exists. h5_rows is a placeholder and
+            # load_images_* refuse to use it (has_image_rows=False).
             self._image_id_to_row = None
             self.h5_rows = np.zeros(n, dtype=np.int64)
 
@@ -200,6 +202,12 @@ class VQADataset:
 
     def load_images_chw(self, sample_indices: np.ndarray) -> np.ndarray:
         """Load images for the given SAMPLE indices as float32 [B,3,H,W]."""
+        if not getattr(self, "has_image_rows", True):
+            raise RuntimeError(
+                "This dataset was built in online-image mode (no h5 row "
+                "map); rebuild it with require_image_cache=True or use the "
+                "online pipeline."
+            )
         feats = self._h5_handle()["features"]
         rows = self.h5_rows[sample_indices]
         # h5py fancy indexing needs sorted unique rows; gather then scatter.
@@ -234,6 +242,8 @@ class VQADataset:
                         "image_path": self.image_path,
                         "answerable_only": self.answerable_only,
                         "max_question_length": int(self.max_question_length),
+                        "has_image_rows": getattr(self, "has_image_rows",
+                                                  True),
                     }
                 ).encode(),
                 dtype=np.uint8,
@@ -254,6 +264,7 @@ class VQADataset:
             obj.image_path = meta["image_path"]
             obj.answerable_only = meta["answerable_only"]
             obj.max_question_length = meta["max_question_length"]
+            obj.has_image_rows = meta.get("has_image_rows", True)
             for f in cls._ARRAY_FIELDS:
                 setattr(obj, f, data[f])
             obj._image_id_to_row = None

@@ -27,6 +27,7 @@ import numpy as np
 
 from dl_vqa_tpu.data.dataset import VQADataset
 from dl_vqa_tpu.data.images import _center_crop, _resize_shorter_edge
+from dl_vqa_tpu.data.pipeline import Batcher
 
 __all__ = ["JpegLoader", "OnlineBatcher"]
 
@@ -63,37 +64,20 @@ class JpegLoader:
         return np.stack(list(self._pool.map(self._decode_one, image_ids)))
 
 
-class OnlineBatcher:
-    """Like :class:`dl_vqa_tpu.data.pipeline.Batcher` but images come from
-    JPEGs (uint8 NHWC) instead of the h5 cache."""
+class OnlineBatcher(Batcher):
+    """A :class:`dl_vqa_tpu.data.pipeline.Batcher` whose images come from
+    JPEGs (uint8 NHWC) instead of the h5 cache — shuffle/pad/mask
+    semantics are inherited, only the image source differs."""
 
     def __init__(self, dataset: VQADataset, batch_size: int,
                  loader: JpegLoader, shuffle: bool = False, seed: int = 0):
-        self.dataset = dataset
-        self.batch_size = batch_size
+        super().__init__(dataset, batch_size, shuffle=shuffle, seed=seed,
+                         load_images=False)
         self.loader = loader
-        self.shuffle = shuffle
-        self._rng = np.random.default_rng(seed)
-
-    def __len__(self) -> int:
-        return -(-len(self.dataset) // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            self._rng.shuffle(order)
-        bs = self.batch_size
-        for start in range(0, n, bs):
-            idx = order[start : start + bs]
-            real = len(idx)
-            if real < bs:
-                idx = np.concatenate([idx, np.repeat(idx[-1], bs - real)])
-            yield {
-                "images": self.loader.load_batch(self.dataset.image_ids[idx]),
-                "questions": self.dataset.questions[idx],
-                "lengths": self.dataset.question_lengths[idx],
-                "answer_indices": self.dataset.answer_indices[idx],
-                "answer_values": self.dataset.answer_values[idx],
-                "mask": np.arange(bs) < real,
-            }
+        for batch in super().__iter__():
+            batch["images"] = self.loader.load_batch(
+                self.dataset.image_ids[batch.pop("indices")]
+            )
+            yield batch

@@ -65,6 +65,9 @@ class Batcher:
                 "answer_indices": self.dataset.answer_indices[idx],
                 "answer_values": self.dataset.answer_values[idx],
                 "mask": np.arange(bs) < real,
+                # sample indices (the reference's batch tuple carries the
+                # index too, ref main.py 7-tuple); consumers may pop it.
+                "indices": idx.astype(np.int32),
             }
             if self.load_images:
                 batch["images"] = self.dataset.load_images_nhwc(idx)

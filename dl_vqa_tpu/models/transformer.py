@@ -98,6 +98,14 @@ def _self_attention(x: jnp.ndarray, layer: Dict, mask: jnp.ndarray,
     )
 
 
+def _dropout(x, rate, train, rng):
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
 def apply_transformer_text(
     params: Dict,
     questions: jnp.ndarray,  # [B, T] int
@@ -108,9 +116,15 @@ def apply_transformer_text(
     rng,
     dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (pooled [B, D], tokens [B, T, D], valid_mask [B, T])."""
+    """Returns (pooled [B, D], tokens [B, T, D], valid_mask [B, T]).
+
+    ``train.text.dropout`` applies at the standard pre-LN sites: after the
+    embedding projection and on each sublayer's residual branch."""
     seq = questions.shape[1]
     mask = jnp.arange(seq)[None, :] < lengths[:, None]
+
+    def site_rng(site):
+        return None if rng is None else jax.random.fold_in(rng, site)
 
     table = params["embedding"]
     x = jnp.take(table, questions, axis=0)
@@ -121,21 +135,24 @@ def apply_transformer_text(
         + params["in_proj"]["b"]
     )
     x = (x + params["pos"][:seq]).astype(dtype)
+    x = _dropout(x, dropout, train, site_rng(0))
 
-    for layer in params["layers"]:
+    for idx, layer in enumerate(params["layers"]):
         h = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
-        x = x + _self_attention(h, layer, mask, num_heads, dtype).astype(dtype)
+        att = _self_attention(h, layer, mask, num_heads, dtype).astype(dtype)
+        x = x + _dropout(att, dropout, train, site_rng(2 * idx + 1))
         h = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
         h = jax.nn.relu(
             jnp.dot(h, layer["mlp_in"]["w"].astype(dtype),
                     preferred_element_type=jnp.float32)
             + layer["mlp_in"]["b"]
         ).astype(dtype)
-        x = x + (
+        mlp = (
             jnp.dot(h, layer["mlp_out"]["w"].astype(dtype),
                     preferred_element_type=jnp.float32)
             + layer["mlp_out"]["b"]
         ).astype(dtype)
+        x = x + _dropout(mlp, dropout, train, site_rng(2 * idx + 2))
 
     x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])
     tokens = x.astype(jnp.float32)

@@ -62,6 +62,13 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
 
     # Text encoder
     if t.encoder == "lstm":
+        if t.num_lstm_layers != 1:
+            # The reference is also single-layer only (its config notes
+            # 'needs change of code if >1'); fail loudly instead of
+            # silently training a different architecture.
+            raise NotImplementedError(
+                f"num_lstm_layers={t.num_lstm_layers}; only 1 is supported"
+            )
         params["text"]["embedding"] = init_lib.embedding_params(
             keys[0], cfg.num_tokens, t.embedding_features
         )

@@ -70,17 +70,23 @@ def get_metrics(best_eval_score: float, eval_score: float,
 
 def evaluate(eval_step, params, batcher: Batcher, sharding=None,
              prefetch_depth: int = 2):
-    """Full eval pass -> (score%, mean loss). Only scalars cross to host."""
+    """Full eval pass -> (score%, mean loss).
+
+    Per-batch results accumulate as DEVICE scalars (a float() per batch
+    would block one dispatch round trip each step — ~30 ms on
+    relay-backed runtimes); only the two totals cross to the host."""
     n_batches = len(batcher)
     n_samples = len(batcher.dataset)
-    loss_total, score_total = 0.0, 0.0
+    loss_total = score_total = None
     for batch in prefetch_to_device(iter(batcher), sharding, prefetch_depth):
         loss, score = eval_step(params, batch)
-        loss_total += float(loss)
-        score_total += float(score)
+        loss_total = loss if loss_total is None else loss_total + loss
+        score_total = score if score_total is None else score_total + score
+    if loss_total is None:
+        return 0.0, 0.0
     return (
-        score_total / max(n_samples, 1) * 100.0,
-        loss_total / max(n_batches, 1),
+        float(score_total) / max(n_samples, 1) * 100.0,
+        float(loss_total) / max(n_batches, 1),
     )
 
 
@@ -125,14 +131,25 @@ def train(
         t0 = time.time()
         n_batches = len(train_batcher)
         n_samples = len(train_batcher.dataset)
-        loss_total, score_total = 0.0, 0.0
+        # Device-scalar accumulation: see evaluate() for why not float().
+        loss_total = score_total = None
 
         for batch in prefetch_to_device(
             iter(train_batcher), batch_sharding, prefetch_depth
         ):
             state, step_metrics = train_step(state, batch, rng)
-            loss_total += float(step_metrics["loss"])
-            score_total += float(step_metrics["score"])
+            loss, score = step_metrics["loss"], step_metrics["score"]
+            loss_total = loss if loss_total is None else loss_total + loss
+            score_total = score if score_total is None else score_total + score
+
+        # The float() conversions force completion of every queued step —
+        # they must precede the epoch timing.
+        train_loss = (
+            float(loss_total) if loss_total is not None else 0.0
+        ) / max(n_batches, 1)
+        train_score = (
+            float(score_total) if score_total is not None else 0.0
+        ) / max(n_samples, 1) * 100.0
 
         if profile_dir and epoch == 1:
             jax.profiler.stop_trace()
@@ -148,9 +165,6 @@ def train(
             },
             epoch,
         )
-
-        train_loss = loss_total / max(n_batches, 1)
-        train_score = score_total / max(n_samples, 1) * 100.0
 
         eval_score, eval_loss = evaluate(
             eval_step, state.params, eval_batcher, batch_sharding,

@@ -63,9 +63,12 @@ def evaluate_hw2(overrides=()) -> float:
         )
 
     cache = VQADataset.cache_path(profile["val_paths"]["vqaDataset"])
+    val_dataset = None
     if os.path.exists(cache):
         val_dataset = VQADataset.load(cache)
-    else:
+        if not online_images and not val_dataset.has_image_rows:
+            val_dataset = None  # cache from online mode; rebuild with rows
+    if val_dataset is None:
         val_dataset = VQADataset(
             data_paths=profile["val_paths"],
             other_paths=profile["paths"],
@@ -75,7 +78,10 @@ def evaluate_hw2(overrides=()) -> float:
         )
         val_dataset.save(cache)
 
-    model_cfg = ModelConfig.from_cfg(cfg["train"], val_dataset.num_tokens)
+    model_cfg = ModelConfig.from_cfg(
+        cfg["train"], val_dataset.num_tokens,
+        use_pallas=cfg["tpu"]["use_pallas"],
+    )
     template = vqa.init(jax.random.PRNGKey(0), model_cfg)
     params = load_params(profile["paths"]["pretrained_model_path"], template)
 

@@ -72,9 +72,16 @@ def main(cfg: dict) -> float:
     def load_or_build(split: str, answerable_only: bool) -> VQADataset:
         cache = VQADataset.cache_path(profile[split]["vqaDataset"])
         if os.path.exists(cache):
-            logger.write(f"Loading VQA {split} dataset from {cache}")
-            return VQADataset.load(cache)
-        logger.write(f"Creating {split} dataset")
+            loaded = VQADataset.load(cache)
+            if online_images or loaded.has_image_rows:
+                logger.write(f"Loading VQA {split} dataset from {cache}")
+                return loaded
+            logger.write(
+                f"Cache {cache} was built in online-image mode; rebuilding "
+                "with the h5 row map"
+            )
+        else:
+            logger.write(f"Creating {split} dataset")
         ds = VQADataset(
             data_paths=profile[split],
             other_paths=profile["paths"],
@@ -89,7 +96,10 @@ def main(cfg: dict) -> float:
     val_dataset = load_or_build("val_paths", answerable_only=False)
 
     # Model
-    model_cfg = ModelConfig.from_cfg(cfg["train"], train_dataset.num_tokens)
+    model_cfg = ModelConfig.from_cfg(
+        cfg["train"], train_dataset.num_tokens,
+        use_pallas=cfg["tpu"]["use_pallas"],
+    )
     params = vqa.init(jax.random.PRNGKey(cfg["main"]["seed"]), model_cfg)
 
     opt_restore_path = None

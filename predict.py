@@ -45,6 +45,7 @@ class Predictor:
         self.model_cfg = ModelConfig.from_cfg(
             cfg["train"],
             num_tokens or (len(self.question_vocab) + 1),
+            use_pallas=cfg["tpu"]["use_pallas"],
         )
         template = vqa.init(jax.random.PRNGKey(0), self.model_cfg)
         self.params = load_params(checkpoint_path, template)

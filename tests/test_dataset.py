@@ -119,3 +119,23 @@ def test_image_cache_matches_torchvision_transform(corpus):
         actual = fd["features"][row]
 
     np.testing.assert_array_equal(actual, expected)
+
+
+def test_online_mode_cache_not_poisoned_for_h5_reads(corpus, tmp_path):
+    """A cache built WITHOUT the h5 row map must refuse h5 image loads
+    (previously it silently served row 0 for every sample)."""
+    ds = VQADataset(
+        data_paths=corpus["val_paths"],
+        other_paths=corpus["paths"],
+        require_image_cache=False,
+    )
+    assert not ds.has_image_rows
+    with pytest.raises(RuntimeError, match="online-image mode"):
+        ds.load_images_nhwc(np.array([0]))
+
+    path = str(tmp_path / "online_cache.npz")
+    ds.save(path)
+    loaded = VQADataset.load(path)
+    assert not loaded.has_image_rows
+    with pytest.raises(RuntimeError, match="online-image mode"):
+        loaded.load_images_nhwc(np.array([0]))

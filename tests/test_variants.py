@@ -137,3 +137,31 @@ def test_stacked_attention_glimpses_differ():
     )
     changed = vqa.apply(cut, cfg, images, questions, lengths)
     assert not np.allclose(np.asarray(base), np.asarray(changed))
+
+
+def test_multilayer_lstm_rejected():
+    cfg = _cfg()
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, num_lstm_layers=2)
+    )
+    with pytest.raises(NotImplementedError, match="num_lstm_layers"):
+        vqa.init(jax.random.PRNGKey(0), cfg)
+
+
+def test_transformer_dropout_active_in_train_mode():
+    cfg = _cfg(encoder="transformer")
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, dropout=0.5)
+    )
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    images, questions, lengths = _batch(cfg)
+    t1 = vqa.apply(params, cfg, images, questions, lengths, train=True,
+                   rng=jax.random.PRNGKey(1))
+    t2 = vqa.apply(params, cfg, images, questions, lengths, train=True,
+                   rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    e1 = vqa.apply(params, cfg, images, questions, lengths)
+    e2 = vqa.apply(params, cfg, images, questions, lengths)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
