@@ -200,8 +200,9 @@ class VQADataset:
 
     # -- image access ------------------------------------------------------
 
-    def load_images_chw(self, sample_indices: np.ndarray) -> np.ndarray:
-        """Load images for the given SAMPLE indices as float32 [B,3,H,W]."""
+    def load_images_chw(self, sample_indices: np.ndarray,
+                        dtype=np.float32) -> np.ndarray:
+        """Load images for the given SAMPLE indices as [B,3,H,W]."""
         if not getattr(self, "has_image_rows", True):
             raise RuntimeError(
                 "This dataset was built in online-image mode (no h5 row "
@@ -214,15 +215,18 @@ class VQADataset:
         order = np.argsort(rows, kind="stable")
         sorted_rows = rows[order]
         unique_rows, inverse = np.unique(sorted_rows, return_inverse=True)
-        loaded = feats[unique_rows.tolist()].astype(np.float32)
-        out = np.empty((len(rows),) + feats.shape[1:], dtype=np.float32)
+        loaded = np.asarray(feats[unique_rows.tolist()], dtype=dtype)
+        out = np.empty((len(rows),) + feats.shape[1:], dtype=dtype)
         out[order] = loaded[inverse]
         return out
 
-    def load_images_nhwc(self, sample_indices: np.ndarray) -> np.ndarray:
-        """Load images as float32 [B,H,W,3] — the TPU-native layout."""
+    def load_images_nhwc(self, sample_indices: np.ndarray,
+                         dtype=np.float16) -> np.ndarray:
+        """Load images as [B,H,W,3] — the TPU-native layout. Defaults to
+        fp16 (the cache's storage dtype): half the host work and
+        host->device bytes; the model upcasts on device."""
         return np.ascontiguousarray(
-            self.load_images_chw(sample_indices).transpose(0, 2, 3, 1)
+            self.load_images_chw(sample_indices, dtype).transpose(0, 2, 3, 1)
         )
 
     # -- persistence (replaces the reference's whole-object pickle) --------

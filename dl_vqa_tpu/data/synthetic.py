@@ -171,3 +171,25 @@ def make_synthetic_corpus(
         max_answers=max_answers,
     )
     return profile
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Generate a hermetic miniature VQA corpus."
+    )
+    parser.add_argument("root")
+    parser.add_argument("--n-train", type=int, default=64)
+    parser.add_argument("--n-val", type=int, default=32)
+    parser.add_argument("--n-images", type=int, default=12)
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--max-answers", type=int, default=20)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+    profile = make_synthetic_corpus(
+        args.root, n_train=args.n_train, n_val=args.n_val,
+        n_images=args.n_images, image_size=args.image_size,
+        max_answers=args.max_answers, seed=args.seed,
+    )
+    print(f"corpus at {args.root}: vocab={profile['paths']['vocab_path']}")

@@ -67,11 +67,16 @@ def test_dataset_image_loading(corpus):
     )
     imgs = val.load_images_nhwc(np.array([0, 1, 2, 0]))
     assert imgs.shape == (4, 64, 64, 3)
-    assert imgs.dtype == np.float32
+    assert imgs.dtype == np.float16  # cache storage dtype; upcast on device
     # duplicate index 0 must load the identical image
     np.testing.assert_array_equal(imgs[0], imgs[3])
     chw = val.load_images_chw(np.array([1]))
-    np.testing.assert_allclose(chw[0].transpose(1, 2, 0), imgs[1])
+    assert chw.dtype == np.float32
+    np.testing.assert_allclose(
+        chw[0].transpose(1, 2, 0), imgs[1].astype(np.float32)
+    )
+    f32 = val.load_images_nhwc(np.array([1]), dtype=np.float32)
+    np.testing.assert_allclose(f32[0], chw[0].transpose(1, 2, 0))
 
 
 def test_dataset_save_load_roundtrip(corpus, tmp_path):
