@@ -142,9 +142,23 @@ def bench_train() -> None:
 
 def main() -> None:
     cfg, params = build()
-    pool = [make_batch(cfg, BATCH_SIZE, seed=s) for s in range(POOL)]
+    n_chips = jax.device_count()
+    batch_size = BATCH_SIZE * n_chips  # scale work with the mesh
+    pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
     run, staged = make_bench_fn(cfg, pool)
-    staged = jax.device_put(staged)
+
+    if n_chips > 1:
+        # Data-parallel mesh: batch axis (dim 1 of the staged pool)
+        # sharded over 'data'; params replicate under jit.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dl_vqa_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=n_chips, model=1)
+        sharding = NamedSharding(mesh, P(None, "data"))
+        staged = {k: jax.device_put(v, sharding) for k, v in staged.items()}
+    else:
+        staged = jax.device_put(staged)
 
     # Warmup / compile; scalar fetch forces full execution.
     loss, score = run(params, staged)
@@ -158,15 +172,14 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
-    n_chips = jax.device_count()
-    qa_per_sec_per_chip = BATCH_SIZE * ITERS / elapsed / n_chips
+    qa_per_sec_per_chip = batch_size * ITERS / elapsed / n_chips
     print(
         json.dumps(
             {
                 "metric": "qa_pairs_per_sec_per_chip",
                 "value": round(qa_per_sec_per_chip, 1),
-                "unit": "QA pairs/s/chip (VQA eval, batch %d x %d steps)"
-                % (BATCH_SIZE, ITERS),
+                "unit": "QA pairs/s/chip (VQA eval, batch %d x %d steps, "
+                "%d chip(s))" % (batch_size, ITERS, n_chips),
                 "vs_baseline": round(
                     qa_per_sec_per_chip / BASELINE_QA_PER_SEC, 3
                 ),

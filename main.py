@@ -176,5 +176,11 @@ def main(cfg: dict) -> float:
 if __name__ == "__main__":
     from dl_vqa_tpu import config as config_mod
 
-    composed = config_mod.compose("config", overrides=sys.argv[1:])
+    # First arg without '=' selects a config preset (config_san,
+    # config_transformer_co, ...); the rest are dotlist overrides.
+    args = sys.argv[1:]
+    config_name = "config"
+    if args and "=" not in args[0]:
+        config_name, args = args[0], args[1:]
+    composed = config_mod.compose(config_name, overrides=args)
     print(main(composed))
