@@ -268,3 +268,47 @@ def test_resume_equals_uninterrupted_training(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_load_params_from_torch_pth(tmp_path):
+    """A reference-format .pth checkpoint loads through load_params
+    (warm start / eval interop path, ref main.py:108-113)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        from models.model import VqaNet
+    except Exception:
+        pytest.skip("reference not importable")
+
+    tcfg = {
+        "text": {"question_features": 16, "embedding_features": 8,
+                 "dropout": 0.0, "num_lstm_layers": 1, "bidirectional": True},
+        "image": {"kernel_size": 3, "dropout": 0.0,
+                  "num_channels": [3, 4, 6], "stride": 1,
+                  "do_skip_connection": False},
+        "attention": {"hidden_dim": 12, "glimpses": 2, "do_option": "+",
+                      "dropout": 0.0},
+        "classifier": {"hidden_dim": 16, "dropout": 0.0},
+        "max_answers": 12,
+    }
+    ref_model = VqaNet(tcfg, embedding_tokens=30)
+    path = str(tmp_path / "model.pth")
+    torch.save(
+        {"epoch": 3, "model_state": ref_model.state_dict(),
+         "optimizer_state": {}},
+        path,
+    )
+
+    from dl_vqa_tpu.utils.checkpoint import load_params
+
+    cfg = _tiny_cfg()
+    template = vqa.init(jax.random.PRNGKey(0), cfg)
+    params = load_params(path, template)
+    np.testing.assert_allclose(
+        np.asarray(params["classifier"]["lin2"]["b"]),
+        ref_model.classifier.lin2.bias.detach().numpy(),
+        atol=1e-7,
+    )
