@@ -121,6 +121,15 @@ class VQADataset:
             encode_answers(a, self.answer_vocab)
             for a in vqa_text.prepare_answers(answers_json)
         ]
+        # Official VQA answer types, for per-type accuracy reporting.
+        type_codes = {"yes/no": 0, "number": 1}
+        self.answer_types = np.array(
+            [
+                type_codes.get(ann.get("answer_type", "other"), 2)
+                for ann in answers_json["annotations"]
+            ],
+            dtype=np.int32,
+        )
         self.answer_lengths = np.array([e[2] for e in encoded], dtype=np.int32)
         k_max = max(int(self.answer_lengths.max()), 1) if n else 1
         self.answer_indices = np.zeros((n, k_max), dtype=np.int32)
@@ -233,7 +242,8 @@ class VQADataset:
 
     _ARRAY_FIELDS = (
         "questions", "question_lengths", "answer_indices", "answer_values",
-        "answer_lengths", "question_ids", "image_ids", "h5_rows",
+        "answer_lengths", "answer_types", "question_ids", "image_ids",
+        "h5_rows",
     )
 
     def save(self, path: str) -> None:
@@ -270,6 +280,11 @@ class VQADataset:
             obj.max_question_length = meta["max_question_length"]
             obj.has_image_rows = meta.get("has_image_rows", True)
             for f in cls._ARRAY_FIELDS:
+                if f not in data:
+                    raise KeyError(
+                        f"Dataset cache {path!r} is missing {f!r} — it was "
+                        "written by an older version; delete it to rebuild."
+                    )
                 setattr(obj, f, data[f])
             obj._image_id_to_row = None
             obj._h5 = None

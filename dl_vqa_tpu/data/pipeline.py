@@ -69,6 +69,8 @@ class Batcher:
                 # index too, ref main.py 7-tuple); consumers may pop it.
                 "indices": idx.astype(np.int32),
             }
+            if hasattr(self.dataset, "answer_types"):
+                batch["answer_types"] = self.dataset.answer_types[idx]
             if self.load_images:
                 batch["images"] = self.dataset.load_images_nhwc(idx)
             yield batch

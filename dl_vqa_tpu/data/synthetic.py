@@ -57,6 +57,12 @@ def generate_vqa_split(
             }
             for k in range(10)
         ]
+        if main_answer in ("yes", "no"):
+            answer_type = "yes/no"
+        elif main_answer.isdigit():
+            answer_type = "number"
+        else:
+            answer_type = "other"
         annotations.append(
             {
                 "question_id": qid,
@@ -64,7 +70,7 @@ def generate_vqa_split(
                 "multiple_choice_answer": main_answer,
                 "answers": answers,
                 "question_type": "none of the above",
-                "answer_type": "other",
+                "answer_type": answer_type,
             }
         )
     questions_json = {

@@ -73,6 +73,31 @@ def vqa_accuracy_sum(
     return score.sum()
 
 
+def vqa_accuracy_by_type(
+    logits: jnp.ndarray,          # [B, A]
+    answer_indices: jnp.ndarray,  # [B, K]
+    answer_values: jnp.ndarray,   # [B, K]
+    answer_types: jnp.ndarray,    # [B] int: 0=yes/no, 1=number, 2=other
+    sample_mask: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-answer-type accuracy sums and counts, both [3] — the official
+    VQA benchmark's yes/no / number / other breakdown (a capability the
+    reference lacks). All on device (segment sums, no host loop)."""
+    predicted = jnp.argmax(logits, axis=-1)
+    hits = jnp.logical_and(
+        (answer_indices - 1) == predicted[:, None], answer_indices > 0
+    )
+    agreeing = jnp.where(hits, answer_values, 0).sum(axis=-1)
+    score = jnp.clip(agreeing.astype(jnp.float32) * 0.3, None, 1.0)
+    ones = jnp.ones_like(score)
+    if sample_mask is not None:
+        score = jnp.where(sample_mask, score, 0.0)
+        ones = jnp.where(sample_mask, ones, 0.0)
+    sums = jax.ops.segment_sum(score, answer_types, num_segments=3)
+    counts = jax.ops.segment_sum(ones, answer_types, num_segments=3)
+    return sums, counts
+
+
 def vqa_batch_stats(
     logits: jnp.ndarray,
     answer_indices: jnp.ndarray,

@@ -69,25 +69,49 @@ def get_metrics(best_eval_score: float, eval_score: float,
 
 
 def evaluate(eval_step, params, batcher: Batcher, sharding=None,
-             prefetch_depth: int = 2):
-    """Full eval pass -> (score%, mean loss).
+             prefetch_depth: int = 2, breakdown: bool = False):
+    """Full eval pass -> (score%, mean loss)[, per-type breakdown dict].
 
     Per-batch results accumulate as DEVICE scalars (a float() per batch
     would block one dispatch round trip each step — ~30 ms on
-    relay-backed runtimes); only the two totals cross to the host."""
+    relay-backed runtimes); only the totals cross to the host.
+
+    ``breakdown=True`` requires an eval step built with
+    ``with_breakdown=True`` and returns a third value:
+    ``{"yes/no": %, "number": %, "other": %}`` (official VQA categories).
+    """
     n_batches = len(batcher)
     n_samples = len(batcher.dataset)
-    loss_total = score_total = None
+    loss_total = score_total = sums_total = counts_total = None
     for batch in prefetch_to_device(iter(batcher), sharding, prefetch_depth):
-        loss, score = eval_step(params, batch)
+        out = eval_step(params, batch)
+        loss, score = out[0], out[1]
         loss_total = loss if loss_total is None else loss_total + loss
         score_total = score if score_total is None else score_total + score
+        if breakdown:
+            sums, counts = out[2], out[3]
+            sums_total = sums if sums_total is None else sums_total + sums
+            counts_total = (
+                counts if counts_total is None else counts_total + counts
+            )
     if loss_total is None:
-        return 0.0, 0.0
-    return (
+        return (0.0, 0.0, {}) if breakdown else (0.0, 0.0)
+    result = (
         float(score_total) / max(n_samples, 1) * 100.0,
         float(loss_total) / max(n_batches, 1),
     )
+    if breakdown:
+        import numpy as np
+
+        sums = np.asarray(sums_total)
+        counts = np.asarray(counts_total)
+        per_type = {
+            name: float(s / c * 100.0)
+            for name, s, c in zip(("yes/no", "number", "other"), sums, counts)
+            if c > 0
+        }
+        return result + (per_type,)
+    return result
 
 
 def train(

@@ -117,12 +117,36 @@ def make_eval_step(
     cfg: ModelConfig,
     compute_dtype=jnp.bfloat16,
     in_shardings=None,
+    with_breakdown: bool = False,
 ):
     """Build the jitted eval step: ``eval_step(params, batch) -> (loss,
-    score_sum)`` — only two scalars leave the device per batch."""
+    score_sum)`` — only scalars leave the device per batch.
+
+    ``with_breakdown=True`` additionally returns per-answer-type
+    (yes/no, number, other) score sums and counts, each [3]."""
 
     def step_fn(params: Dict, batch: Dict):
-        return _forward_loss(params, cfg, batch, False, None, compute_dtype)
+        logits = vqa.apply(
+            params, cfg,
+            batch["images"], batch["questions"], batch["lengths"],
+            train=False, compute_dtype=compute_dtype,
+        )
+        mask = batch.get("mask")
+        loss = soft_cross_entropy(
+            logits, batch["answer_indices"], batch["answer_values"], mask
+        )
+        score = vqa_accuracy_sum(
+            logits, batch["answer_indices"], batch["answer_values"], mask
+        )
+        if with_breakdown:
+            from dl_vqa_tpu.ops.vqa_metrics import vqa_accuracy_by_type
+
+            sums, counts = vqa_accuracy_by_type(
+                logits, batch["answer_indices"], batch["answer_values"],
+                batch["answer_types"], mask,
+            )
+            return loss, score, sums, counts
+        return loss, score
 
     kwargs = {}
     if in_shardings is not None:

@@ -90,7 +90,7 @@ def evaluate_hw2(overrides=()) -> float:
     compute_dtype = jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16" \
         else jnp.float32
 
-    eval_step = make_eval_step(model_cfg, compute_dtype)
+    eval_step = make_eval_step(model_cfg, compute_dtype, with_breakdown=True)
     if online_images:
         from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher
 
@@ -109,9 +109,13 @@ def evaluate_hw2(overrides=()) -> float:
         batcher = OnlineBatcher(val_dataset, cfg["train"]["batch_size"], loader)
     else:
         batcher = Batcher(val_dataset, cfg["train"]["batch_size"])
-    score, _ = evaluate(
+    score, _, per_type = evaluate(
         eval_step, params, batcher, make_batch_sharding(mesh),
-        cfg["tpu"]["prefetch_depth"],
+        cfg["tpu"]["prefetch_depth"], breakdown=True,
+    )
+    logger.write(
+        "Per-type accuracy: "
+        + ", ".join(f"{k}: {v:.2f}" for k, v in per_type.items())
     )
     return round(score, 3)
 

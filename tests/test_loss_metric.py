@@ -91,3 +91,23 @@ def test_sample_mask_for_partial_batches():
     )
     assert float(loss_masked) == pytest.approx(float(loss_real), rel=1e-6)
     assert float(score_masked) == pytest.approx(float(score_real), rel=1e-6)
+
+
+def test_accuracy_by_type():
+    from dl_vqa_tpu.ops.vqa_metrics import vqa_accuracy_by_type
+
+    # 4 samples: types [0, 0, 1, 2]; predictions hit answers with counts
+    # [10, 0(miss), 2, 4] -> scores [1.0, 0, 0.6, 1.0]
+    logits = jnp.asarray(np.eye(5, dtype=np.float32)[[0, 1, 2, 3]] * 10)
+    indices = jnp.array([[1], [4], [3], [4]])
+    values = jnp.array([[10], [10], [2], [4]])
+    types = jnp.array([0, 0, 1, 2])
+    sums, counts = vqa_accuracy_by_type(logits, indices, values, types)
+    np.testing.assert_allclose(np.asarray(sums), [1.0, 0.6, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(counts), [2.0, 1.0, 1.0])
+
+    # padded sample excluded from both sum and count
+    mask = jnp.array([True, True, True, False])
+    sums, counts = vqa_accuracy_by_type(logits, indices, values, types, mask)
+    np.testing.assert_allclose(np.asarray(sums), [1.0, 0.6, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(counts), [2.0, 1.0, 0.0])
