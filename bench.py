@@ -140,6 +140,38 @@ def bench_train() -> None:
     )
 
 
+def bench_latency(batch_size: int = 8) -> None:
+    """Optional serving-latency mode (`python bench.py --latency`):
+    per-query device latency at a small batch, measured with the
+    on-device loop (amortizing dispatch RTT like a pipelined server)."""
+    from dl_vqa_tpu.models import vqa as vqa_model
+    from dl_vqa_tpu.ops.vqa_metrics import vqa_batch_stats
+
+    cfg, params = build()
+    pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
+    run, staged = make_bench_fn(cfg, pool)
+    staged = jax.device_put(staged)
+    loss, _ = run(params, staged)
+    float(loss)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loss, _ = run(params, staged)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    ms_per_step = min(times) / ITERS * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "eval_latency_ms_per_batch",
+                "value": round(ms_per_step, 2),
+                "unit": "ms per batch-%d eval step (pipelined)" % batch_size,
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main() -> None:
     cfg, params = build()
     n_chips = jax.device_count()
@@ -193,5 +225,7 @@ if __name__ == "__main__":
 
     if "--train" in sys.argv:
         bench_train()
+    elif "--latency" in sys.argv:
+        bench_latency()
     else:
         main()
