@@ -144,9 +144,6 @@ def bench_latency(batch_size: int = 8) -> None:
     """Optional serving-latency mode (`python bench.py --latency`):
     per-query device latency at a small batch, measured with the
     on-device loop (amortizing dispatch RTT like a pipelined server)."""
-    from dl_vqa_tpu.models import vqa as vqa_model
-    from dl_vqa_tpu.ops.vqa_metrics import vqa_batch_stats
-
     cfg, params = build()
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
     run, staged = make_bench_fn(cfg, pool)

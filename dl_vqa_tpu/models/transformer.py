@@ -98,14 +98,6 @@ def _self_attention(x: jnp.ndarray, layer: Dict, mask: jnp.ndarray,
     )
 
 
-def _dropout(x, rate, train, rng):
-    if not train or rate == 0.0 or rng is None:
-        return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
-
-
 def apply_transformer_text(
     params: Dict,
     questions: jnp.ndarray,  # [B, T] int
@@ -120,11 +112,15 @@ def apply_transformer_text(
 
     ``train.text.dropout`` applies at the standard pre-LN sites: after the
     embedding projection and on each sublayer's residual branch."""
+    # Shared helpers from the top model (same inverted-dropout semantics
+    # everywhere, incl. the loud failure on train=True without an rng).
+    from dl_vqa_tpu.models.vqa import _dropout, _site_rng
+
     seq = questions.shape[1]
     mask = jnp.arange(seq)[None, :] < lengths[:, None]
 
     def site_rng(site):
-        return None if rng is None else jax.random.fold_in(rng, site)
+        return _site_rng(rng, site)
 
     table = params["embedding"]
     x = jnp.take(table, questions, axis=0)

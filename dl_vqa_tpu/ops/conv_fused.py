@@ -55,14 +55,14 @@ def maxpool2(y: jnp.ndarray) -> jnp.ndarray:
     """2x2/2 max pool whose BACKWARD is an elementwise equality mask
     instead of XLA's select_and_scatter.
 
-    select_and_scatter costs ~60 ms for the 222px/64ch block at batch 512
-    on v5e — the single largest piece of the train step; the mask
-    formulation is pure fusible traffic (~8 ms). Semantics differ from
-    select_and_scatter only at EXACT ties inside a window: the cotangent
-    is routed to every tied maximum instead of the first. Post-relu zero
-    ties (the common case) are unaffected because the relu gradient
-    upstream zeroes those paths; positive bitwise-equal ties are
-    measure-zero for real-valued activations.
+    Semantics differ from select_and_scatter at EXACT ties inside a
+    window: the cotangent is routed to every tied maximum instead of the
+    first. Post-relu zero ties are harmless (the upstream relu gradient
+    zeroes those paths), but with bf16 activations positive bitwise ties
+    are plausible, so tied windows receive 2-4x gradient. Measured only
+    ~5% faster than select_and_scatter in isolation, so the model's
+    default pool uses standard autodiff (exact semantics); this op is an
+    opt-in alternative.
     """
     return _maxpool2_forward(y)
 
@@ -116,7 +116,7 @@ def conv_relu_pool_reference(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     out = jax.nn.relu(out.astype(jnp.float32) + b).astype(x.dtype)
-    return maxpool2(out)
+    return _maxpool2_forward(out)
 
 
 # ------------------------------------------------------------- pallas

@@ -22,7 +22,11 @@ import optax
 
 from dl_vqa_tpu.models import vqa
 from dl_vqa_tpu.models.configs import ModelConfig
-from dl_vqa_tpu.ops.vqa_metrics import soft_cross_entropy, vqa_accuracy_sum
+from dl_vqa_tpu.ops.vqa_metrics import (
+    soft_cross_entropy,
+    vqa_accuracy_by_type,
+    vqa_accuracy_sum,
+)
 from dl_vqa_tpu.train.state import TrainState
 
 __all__ = ["make_optimizer", "make_train_step", "make_eval_step", "lr_schedule"]
@@ -52,7 +56,9 @@ def _forward_loss(
     train: bool,
     rng: Optional[jax.Array],
     compute_dtype,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (loss, score_sum, logits) — the single forward used by both
+    the train and eval steps."""
     logits = vqa.apply(
         params, cfg,
         batch["images"], batch["questions"], batch["lengths"],
@@ -65,7 +71,7 @@ def _forward_loss(
     score = vqa_accuracy_sum(
         logits, batch["answer_indices"], batch["answer_values"], mask
     )
-    return loss, score
+    return loss, score, logits
 
 
 def make_train_step(
@@ -88,9 +94,10 @@ def make_train_step(
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            return _forward_loss(
+            loss, score, _ = _forward_loss(
                 params, cfg, batch, True, step_rng, compute_dtype
             )
+            return loss, score
 
         if remat:
             loss_fn = jax.checkpoint(loss_fn)
@@ -126,24 +133,13 @@ def make_eval_step(
     (yes/no, number, other) score sums and counts, each [3]."""
 
     def step_fn(params: Dict, batch: Dict):
-        logits = vqa.apply(
-            params, cfg,
-            batch["images"], batch["questions"], batch["lengths"],
-            train=False, compute_dtype=compute_dtype,
-        )
-        mask = batch.get("mask")
-        loss = soft_cross_entropy(
-            logits, batch["answer_indices"], batch["answer_values"], mask
-        )
-        score = vqa_accuracy_sum(
-            logits, batch["answer_indices"], batch["answer_values"], mask
+        loss, score, logits = _forward_loss(
+            params, cfg, batch, False, None, compute_dtype
         )
         if with_breakdown:
-            from dl_vqa_tpu.ops.vqa_metrics import vqa_accuracy_by_type
-
             sums, counts = vqa_accuracy_by_type(
                 logits, batch["answer_indices"], batch["answer_values"],
-                batch["answer_types"], mask,
+                batch["answer_types"], batch.get("mask"),
             )
             return loss, score, sums, counts
         return loss, score

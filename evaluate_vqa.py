@@ -65,8 +65,12 @@ def evaluate_hw2(overrides=()) -> float:
     cache = VQADataset.cache_path(profile["val_paths"]["vqaDataset"])
     val_dataset = None
     if os.path.exists(cache):
-        val_dataset = VQADataset.load(cache)
-        if not online_images and not val_dataset.has_image_rows:
+        try:
+            val_dataset = VQADataset.load(cache)
+        except KeyError:
+            val_dataset = None  # cache from an older version; rebuild
+        if (val_dataset is not None and not online_images
+                and not val_dataset.has_image_rows):
             val_dataset = None  # cache from online mode; rebuild with rows
     if val_dataset is None:
         val_dataset = VQADataset(

@@ -72,14 +72,18 @@ def main(cfg: dict) -> float:
     def load_or_build(split: str, answerable_only: bool) -> VQADataset:
         cache = VQADataset.cache_path(profile[split]["vqaDataset"])
         if os.path.exists(cache):
-            loaded = VQADataset.load(cache)
-            if online_images or loaded.has_image_rows:
-                logger.write(f"Loading VQA {split} dataset from {cache}")
-                return loaded
-            logger.write(
-                f"Cache {cache} was built in online-image mode; rebuilding "
-                "with the h5 row map"
-            )
+            try:
+                loaded = VQADataset.load(cache)
+            except KeyError as e:  # cache from an older version
+                logger.write(f"Rebuilding stale cache {cache}: {e}")
+            else:
+                if online_images or loaded.has_image_rows:
+                    logger.write(f"Loading VQA {split} dataset from {cache}")
+                    return loaded
+                logger.write(
+                    f"Cache {cache} was built in online-image mode; "
+                    "rebuilding with the h5 row map"
+                )
         else:
             logger.write(f"Creating {split} dataset")
         ds = VQADataset(
