@@ -115,3 +115,27 @@ def test_question_generator_matches_reference():
     assert list(vqa_text.prepare_questions(qjson)) == list(
         ref.prepare_questions(qjson)
     )
+
+
+@pytest.mark.skipif(_reference_module() is None, reason="reference not available")
+def test_answer_normalizer_fuzz_parity():
+    """500 random punctuation/digit/contraction-heavy strings must
+    normalize identically to the reference."""
+    import random
+
+    ref = _reference_module()
+    rng = random.Random(1234)
+    alphabet = (
+        list("abcdefghijklmnopqrstuvwxyz0123456789")
+        + list(";/[]\"{}()=+\\_-><@`,?! .'")
+        + ["dont", "cant", "youre", "one", "two", "ten", "a", "an", "the",
+           "1,000", "3.5", "mr.", "oclock", "yall"]
+    )
+    for _ in range(500):
+        n = rng.randint(1, 8)
+        raw = " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            if rng.random() < 0.5 else rng.choice(alphabet)
+            for _ in range(n)
+        )
+        assert vqa_text.normalize_answer(raw) == ref.preprocess_answer(raw), raw
