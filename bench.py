@@ -109,6 +109,7 @@ def bench_train() -> None:
     from dl_vqa_tpu.train.state import create_train_state
     from dl_vqa_tpu.train.steps import make_optimizer, make_train_step
 
+    jax.config.update("jax_default_prng_impl", "rbg")  # main.py's default
     cfg, params = build()
     tx = make_optimizer(5e-4)
     state = create_train_state(params, tx)

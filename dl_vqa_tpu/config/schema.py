@@ -109,6 +109,7 @@ CFG_SCHEMA: Dict[str, Any] = {
         "prefetch_depth": int,
         "use_pallas": bool,
         "debug_nans": bool,
+        "prng_impl": str,            # 'rbg' (fast on TPU) | 'threefry2x32'
         "profile_dir": str,          # '' disables the jax.profiler trace
     },
 }

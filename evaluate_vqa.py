@@ -109,6 +109,7 @@ def evaluate_hw2(overrides=()) -> float:
             ),
             image_size=cfg["train"]["image_size"],
             central_fraction=cfg["train"]["central_fraction"],
+            num_threads=cfg["main"]["num_workers"],
         )
         batcher = OnlineBatcher(val_dataset, cfg["train"]["batch_size"], loader)
     else:

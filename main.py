@@ -126,6 +126,8 @@ def main(cfg: dict) -> float:
         else jnp.float32
     if cfg["tpu"]["debug_nans"]:
         jax.config.update("jax_debug_nans", True)
+    # 'rbg' dropout-mask RNG is ~20% faster train steps on TPU.
+    jax.config.update("jax_default_prng_impl", cfg["tpu"]["prng_impl"])
 
     if online_images:
         from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher
@@ -143,6 +145,7 @@ def main(cfg: dict) -> float:
                 ),
                 image_size=cfg["train"]["image_size"],
                 central_fraction=cfg["train"]["central_fraction"],
+                num_threads=cfg["main"]["num_workers"],
             )
 
         train_batcher = OnlineBatcher(
