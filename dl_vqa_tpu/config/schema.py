@@ -65,11 +65,16 @@ CFG_SCHEMA: Dict[str, Any] = {
             "num_layers": int,         # transformer variant only
         },
         "image": {
+            # 'cnn' (reference parity) or 'vit' (patch transformer)
+            "encoder": str,
             "kernel_size": int,
             "dropout": float,
             "num_channels": list,
             "stride": int,
             "do_skip_connection": bool,  # kept for config parity; inert (ref dead code)
+            "patch_size": int,           # vit only
+            "num_layers": int,           # vit only
+            "num_heads": int,            # vit only
         },
         "attention": {
             # 'single' (reference parity), 'stacked' (SAN), 'co' (co-attention)

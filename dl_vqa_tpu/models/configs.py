@@ -34,18 +34,26 @@ class TextConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ImageConfig:
+    encoder: str = "cnn"               # 'cnn' | 'vit'
     kernel_size: int = 3
     dropout: float = 0.3
     num_channels: Tuple[int, ...] = (3, 64, 128, 256)
     stride: int = 1
+    patch_size: int = 16               # vit only
+    num_layers: int = 4                # vit only
+    num_heads: int = 4                 # vit only
 
     @property
     def output_channels(self) -> int:
+        # For 'vit' the model dim is also num_channels[-1].
         return self.num_channels[-1]
 
     def output_grid(self, image_size: int) -> int:
-        """Spatial grid side after the conv stack (VALID convs + 2x2 pools,
-        matching the reference's shape table at config.yaml:134-160)."""
+        """Spatial grid side of the feature map: for 'cnn' after the conv
+        stack (VALID convs + 2x2 pools, matching the reference's shape
+        table at config.yaml:134-160); for 'vit' the patch grid."""
+        if self.encoder == "vit":
+            return image_size // self.patch_size
         size = image_size
         for _ in range(len(self.num_channels) - 1):
             size = (size - self.kernel_size) // self.stride + 1  # VALID conv
@@ -97,10 +105,14 @@ class ModelConfig:
                 num_layers=t.get("num_layers", 2),
             ),
             image=ImageConfig(
+                encoder=i.get("encoder", "cnn"),
                 kernel_size=i["kernel_size"],
                 dropout=i["dropout"],
                 num_channels=tuple(i["num_channels"]),
                 stride=i["stride"],
+                patch_size=i.get("patch_size", 16),
+                num_layers=i.get("num_layers", 4),
+                num_heads=i.get("num_heads", 4),
             ),
             attention=AttentionConfig(
                 variant=a.get("variant", "single"),

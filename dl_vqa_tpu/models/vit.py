@@ -1,0 +1,129 @@
+"""ViT image encoder (``train.image.encoder: vit``).
+
+A patch-transformer alternative to the reference's CNN stem — a new model
+family, not a port. TPU rationale: the CNN's 224px stride-1 stem is
+HBM-bandwidth-bound (see docs/PERF_NOTES.md); a ViT is all large matmuls
+(patch embed has contraction dim patch*patch*3 = 768, attention and MLP
+run at the model dim), so it maps straight onto the MXU with no oversized
+intermediates.
+
+Output is a spatial FEATURE GRID ``[B, g, g, D]`` (g = image_size /
+patch_size), slotting into the same L2-norm + glimpse-attention +
+classifier pipeline as the CNN — every attention variant and the text
+encoders compose with it unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from dl_vqa_tpu.models import initializers as init_lib
+from dl_vqa_tpu.models.transformer import _layer_norm
+
+__all__ = ["init_vit_image", "apply_vit_image"]
+
+
+def init_vit_image(key, image_size: int, patch_size: int, model_dim: int,
+                   num_layers: int) -> Dict:
+    grid = image_size // patch_size
+    keys = jax.random.split(key, 2 + 4 * num_layers)
+    params: Dict = {
+        # Patch embedding as a linear on flattened patches [P*P*3, D].
+        "patch_embed": init_lib.linear_params(
+            keys[0], patch_size * patch_size * 3, model_dim
+        ),
+        "pos": jax.random.normal(
+            keys[1], (grid * grid, model_dim), jnp.float32
+        ) * 0.02,
+        "final_ln": {
+            "scale": jnp.ones(model_dim), "bias": jnp.zeros(model_dim)
+        },
+        "layers": [],
+    }
+    for layer in range(num_layers):
+        k1, k2, k3, k4 = keys[2 + 4 * layer : 6 + 4 * layer]
+        params["layers"].append(
+            {
+                "ln1": {"scale": jnp.ones(model_dim),
+                        "bias": jnp.zeros(model_dim)},
+                "qkv": init_lib.linear_params(k1, model_dim, 3 * model_dim),
+                "out": init_lib.linear_params(k2, model_dim, model_dim),
+                "ln2": {"scale": jnp.ones(model_dim),
+                        "bias": jnp.zeros(model_dim)},
+                "mlp_in": init_lib.linear_params(k3, model_dim, 4 * model_dim),
+                "mlp_out": init_lib.linear_params(k4, 4 * model_dim,
+                                                  model_dim),
+            }
+        )
+    return params
+
+
+def _attention(x, layer, num_heads, dtype):
+    batch, seq, dim = x.shape
+    head = dim // num_heads
+    qkv = jnp.dot(x, layer["qkv"]["w"].astype(dtype),
+                  preferred_element_type=jnp.float32) + layer["qkv"]["b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(batch, seq, num_heads, head).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / (head ** 0.5)
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    out = out.transpose(0, 2, 1, 3).reshape(batch, seq, dim).astype(dtype)
+    return (
+        jnp.dot(out, layer["out"]["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+        + layer["out"]["b"]
+    )
+
+
+def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
+                    num_heads: int, dropout: float, train: bool, rng,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """images [B, H, W, 3] -> feature grid [B, g, g, D]."""
+    from dl_vqa_tpu.models.vqa import _dropout, _site_rng
+
+    batch, h, w, _ = images.shape
+    gh, gw = h // patch_size, w // patch_size
+    # Patchify: [B, gh, P, gw, P, 3] -> [B, gh*gw, P*P*3].
+    x = images[:, : gh * patch_size, : gw * patch_size, :].astype(dtype)
+    x = x.reshape(batch, gh, patch_size, gw, patch_size, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        batch, gh * gw, patch_size * patch_size * 3
+    )
+    x = (
+        jnp.dot(x, params["patch_embed"]["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+        + params["patch_embed"]["b"]
+    )
+    x = (x + params["pos"][: gh * gw]).astype(dtype)
+    x = _dropout(x, dropout, train, _site_rng(rng, 20))
+
+    for idx, layer in enumerate(params["layers"]):
+        hld = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
+        att = _attention(hld, layer, num_heads, dtype).astype(dtype)
+        x = x + _dropout(att, dropout, train, _site_rng(rng, 21 + 2 * idx))
+        hld = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
+        hld = jax.nn.relu(
+            jnp.dot(hld, layer["mlp_in"]["w"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+            + layer["mlp_in"]["b"]
+        ).astype(dtype)
+        mlp = (
+            jnp.dot(hld, layer["mlp_out"]["w"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+            + layer["mlp_out"]["b"]
+        ).astype(dtype)
+        x = x + _dropout(mlp, dropout, train, _site_rng(rng, 22 + 2 * idx))
+
+    x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])
+    dim = x.shape[-1]
+    return x.reshape(batch, gh, gw, dim)

@@ -89,12 +89,23 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
     else:
         raise NotImplementedError(f"text encoder {t.encoder!r}")
 
-    # Image encoder: len(num_channels)-1 conv blocks
-    for block in range(len(i.num_channels) - 1):
-        params["image"][f"conv{block}"] = init_lib.conv_params(
-            keys[3 + block], i.kernel_size,
-            i.num_channels[block], i.num_channels[block + 1],
+    # Image encoder
+    if i.encoder == "cnn":
+        # len(num_channels)-1 conv blocks (reference architecture)
+        for block in range(len(i.num_channels) - 1):
+            params["image"][f"conv{block}"] = init_lib.conv_params(
+                keys[3 + block], i.kernel_size,
+                i.num_channels[block], i.num_channels[block + 1],
+            )
+    elif i.encoder == "vit":
+        from dl_vqa_tpu.models.vit import init_vit_image
+
+        params["image"] = init_vit_image(
+            keys[3], cfg.image_size, i.patch_size, i.output_channels,
+            i.num_layers,
         )
+    else:
+        raise NotImplementedError(f"image encoder {i.encoder!r}")
 
     # Attention fusion
     v_features = i.output_channels
@@ -141,12 +152,20 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
 
 def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
                   train: bool, rng, dtype) -> jnp.ndarray:
-    """Conv stack (conv->relu->maxpool per block, dropout at the end),
-    ref ``model.py:72-84``. Input/output NHWC.
+    """Image feature grid [B, g, g, C] (NHWC).
 
-    Each block routes through :func:`dl_vqa_tpu.ops.conv_fused.
-    conv_relu_pool` — currently the XLA path (measured faster than the
-    Pallas fused kernel on v5e; see that module's docstring)."""
+    'cnn': conv->relu->maxpool blocks + trailing dropout (ref
+    ``model.py:72-84``), each block through :func:`dl_vqa_tpu.ops.
+    conv_fused.conv_relu_pool` (XLA path by measurement).
+    'vit': patch transformer (new family; see models/vit.py)."""
+    if cfg.image.encoder == "vit":
+        from dl_vqa_tpu.models.vit import apply_vit_image
+
+        return apply_vit_image(
+            params["image"], images, cfg.image.patch_size,
+            cfg.image.num_heads, cfg.image.dropout, train, rng, dtype,
+        )
+
     from dl_vqa_tpu.ops.conv_fused import conv_relu_pool
 
     x = images.astype(dtype)

@@ -165,3 +165,34 @@ def test_transformer_dropout_active_in_train_mode():
     e1 = vqa.apply(params, cfg, images, questions, lengths)
     e2 = vqa.apply(params, cfg, images, questions, lengths)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+@pytest.mark.parametrize("text_enc,att", [("lstm", "single"),
+                                          ("transformer", "co")])
+def test_vit_image_encoder(text_enc, att):
+    import dataclasses
+    cfg = _cfg(encoder=text_enc, variant=att)
+    cfg = dataclasses.replace(
+        cfg,
+        image=dataclasses.replace(
+            cfg.image, encoder="vit", patch_size=8, num_layers=2, num_heads=2,
+            num_channels=(3, 16),  # model dim = 16
+        ),
+    )
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    images, questions, lengths = _batch(cfg)
+
+    logits = vqa.apply(params, cfg, images, questions, lengths)
+    assert logits.shape == (4, cfg.max_answers)
+    assert bool(jnp.isfinite(logits).all())
+    assert cfg.image.output_grid(cfg.image_size) == 4  # 32 / 8
+
+    def loss(p):
+        out = vqa.apply(p, cfg, images, questions, lengths, train=True,
+                        rng=jax.random.PRNGKey(1))
+        return jnp.sum(out ** 2)
+
+    grads = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(grads["image"])
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
