@@ -30,10 +30,20 @@ POOL = 4          # distinct staged batches, cycled
 ITERS = 50        # eval steps per timed run
 
 
-def build():
+def build(vit: bool = False):
     from dl_vqa_tpu.models import ModelConfig, vqa
 
     cfg = ModelConfig(num_tokens=15_193)  # full reference-scale defaults
+    if vit:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            image=dataclasses.replace(
+                cfg.image, encoder="vit", patch_size=16, num_layers=4,
+                num_heads=4, num_channels=(3, 256),
+            ),
+        )
     params = vqa.init(jax.random.PRNGKey(0), cfg)
     return cfg, params
 
@@ -170,8 +180,8 @@ def bench_latency(batch_size: int = 8) -> None:
     )
 
 
-def main() -> None:
-    cfg, params = build()
+def main(vit: bool = False) -> None:
+    cfg, params = build(vit=vit)
     n_chips = jax.device_count()
     batch_size = BATCH_SIZE * n_chips  # scale work with the mesh
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
@@ -203,13 +213,14 @@ def main() -> None:
     elapsed = min(times)
 
     qa_per_sec_per_chip = batch_size * ITERS / elapsed / n_chips
+    model_tag = "ViT" if vit else "VQA"
     print(
         json.dumps(
             {
                 "metric": "qa_pairs_per_sec_per_chip",
                 "value": round(qa_per_sec_per_chip, 1),
-                "unit": "QA pairs/s/chip (VQA eval, batch %d x %d steps, "
-                "%d chip(s))" % (batch_size, ITERS, n_chips),
+                "unit": "QA pairs/s/chip (%s eval, batch %d x %d steps, "
+                "%d chip(s))" % (model_tag, batch_size, ITERS, n_chips),
                 "vs_baseline": round(
                     qa_per_sec_per_chip / BASELINE_QA_PER_SEC, 3
                 ),
@@ -226,4 +237,4 @@ if __name__ == "__main__":
     elif "--latency" in sys.argv:
         bench_latency()
     else:
-        main()
+        main(vit="--vit" in sys.argv)
