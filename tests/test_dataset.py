@@ -144,3 +144,16 @@ def test_online_mode_cache_not_poisoned_for_h5_reads(corpus, tmp_path):
     assert not loaded.has_image_rows
     with pytest.raises(RuntimeError, match="online-image mode"):
         loaded.load_images_nhwc(np.array([0]))
+
+
+def test_batcher_shuffle_deterministic_by_seed(corpus):
+    from dl_vqa_tpu.data.pipeline import Batcher
+
+    val = VQADataset(
+        data_paths=corpus["val_paths"], other_paths=corpus["paths"]
+    )
+    a = next(iter(Batcher(val, 8, shuffle=True, seed=7, load_images=False)))
+    b = next(iter(Batcher(val, 8, shuffle=True, seed=7, load_images=False)))
+    c = next(iter(Batcher(val, 8, shuffle=True, seed=8, load_images=False)))
+    np.testing.assert_array_equal(a["indices"], b["indices"])
+    assert not np.array_equal(a["indices"], c["indices"])

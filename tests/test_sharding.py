@@ -153,3 +153,31 @@ def test_prefetch_propagates_producer_errors():
     next(it)
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_breakdown_eval_under_data_parallel_mesh():
+    """Per-type segment sums must survive batch sharding (GSPMD handles
+    the segment_sum collective)."""
+    from dl_vqa_tpu.train.steps import make_eval_step
+
+    cfg = _cfg()
+    params = vqa.init(jax.random.PRNGKey(2), cfg)
+    batch = _batch(cfg, batch=16, seed=5)
+    batch["answer_types"] = np.array([0, 1, 2, 0] * 4, dtype=np.int32)
+
+    eval_step = make_eval_step(cfg, compute_dtype=jnp.float32,
+                               with_breakdown=True)
+    l_ref, s_ref, sums_ref, counts_ref = eval_step(
+        params, jax.device_put(batch)
+    )
+
+    mesh = make_mesh(data=8, model=1)
+    bsh = batch_sharding(mesh)
+    sharded = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    l_dp, s_dp, sums_dp, counts_dp = eval_step(params, sharded)
+
+    np.testing.assert_allclose(np.asarray(sums_dp), np.asarray(sums_ref),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(counts_dp),
+                                  np.asarray(counts_ref))
+    assert float(l_dp) == pytest.approx(float(l_ref), rel=1e-5)
