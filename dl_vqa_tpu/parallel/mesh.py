@@ -62,8 +62,10 @@ def _spec_for(path: str, leaf) -> P:
     Megatron split of the classifier MLP: lin1 column-parallel (out dim on
     'model'), lin2 row-parallel (in dim on 'model'; XLA inserts the psum).
     The embedding table shards its vocab rows. Attention projections are
-    column-split on their hidden dim. Everything else (LSTM, convs,
-    biases of row-parallel layers) is replicated — they are small.
+    column-split on their hidden dim. Transformer/ViT blocks follow the
+    megatron pattern too: qkv and mlp_in column-parallel, out and mlp_out
+    row-parallel. Everything else (LSTM, convs, biases of row-parallel
+    layers) is replicated — they are small.
     """
     if "classifier/lin1/w" in path:
         return P(None, "model")
@@ -78,6 +80,13 @@ def _spec_for(path: str, leaf) -> P:
         return P(*([None] * (leaf.ndim - 1)), "model")
     if "attention/q_lin/b" in path:
         return P("model")
+    # Transformer / ViT blocks (text or image side).
+    if path.endswith("/qkv/w") or path.endswith("/mlp_in/w"):
+        return P(None, "model")       # column-parallel
+    if path.endswith("/qkv/b") or path.endswith("/mlp_in/b"):
+        return P("model")
+    if path.endswith("/out/w") or path.endswith("/mlp_out/w"):
+        return P("model", None)       # row-parallel (psum on output)
     return P()
 
 
@@ -87,6 +96,9 @@ def param_shardings(params: Dict, mesh: Mesh):
     def walk(tree, prefix):
         if isinstance(tree, dict):
             return {k: walk(v, f"{prefix}/{k}") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            walked = [walk(v, f"{prefix}/{i}") for i, v in enumerate(tree)]
+            return type(tree)(walked) if isinstance(tree, tuple) else walked
         return NamedSharding(mesh, _spec_for(prefix, tree))
 
     return walk(params, "")

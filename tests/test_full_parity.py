@@ -153,7 +153,9 @@ def _our_eval(corpus, tcfg, state_dict):
     return evaluate(eval_step, params, Batcher(ds, BATCH))
 
 
-def test_same_checkpoint_same_accuracy(corpus):
+@pytest.mark.parametrize("do_option,seed", [("+", 42), ("*", 43),
+                                            ("|", 44)])
+def test_same_checkpoint_same_accuracy(corpus, do_option, seed):
     from models.model import VqaNet  # the PyTorch reference
     from dl_vqa_tpu.data.dataset import VQADataset
 
@@ -161,8 +163,9 @@ def test_same_checkpoint_same_accuracy(corpus):
         data_paths=corpus["val_paths"], other_paths=corpus["paths"]
     )
     tcfg = _train_cfg(max_answers=len(ds_probe.answer_vocab))
+    tcfg["attention"]["do_option"] = do_option
 
-    torch.manual_seed(42)
+    torch.manual_seed(seed)
     ref_model = VqaNet(tcfg, embedding_tokens=ds_probe.num_tokens)
 
     ref_score, ref_loss, n = _reference_eval(corpus, tcfg, ref_model)

@@ -181,3 +181,38 @@ def test_breakdown_eval_under_data_parallel_mesh():
     np.testing.assert_array_equal(np.asarray(counts_dp),
                                   np.asarray(counts_ref))
     assert float(l_dp) == pytest.approx(float(l_ref), rel=1e-5)
+
+
+def test_tensor_parallel_vit_transformer_eval_matches():
+    """ViT + transformer-text model under dp x tp: megatron-split qkv/mlp
+    layers must reproduce the unsharded logits-level results."""
+    import dataclasses
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(cfg.text, encoder="transformer",
+                                 num_heads=2, num_layers=1),
+        image=dataclasses.replace(cfg.image, encoder="vit", patch_size=8,
+                                  num_layers=1, num_heads=2,
+                                  num_channels=(3, 16)),
+    )
+    params = vqa.init(jax.random.PRNGKey(3), cfg)
+    batch = _batch(cfg, seed=4)
+
+    eval_step = make_eval_step(cfg, compute_dtype=jnp.float32)
+    l_ref, s_ref = eval_step(params, jax.device_put(batch))
+
+    mesh = make_mesh(data=4, model=2)
+    psh = param_shardings(params, mesh)
+    # the megatron rules must actually bite on the vit/transformer layers
+    assert psh["image"]["layers"][0]["qkv"]["w"].spec == P(None, "model")
+    assert psh["image"]["layers"][0]["out"]["w"].spec == P("model", None)
+    assert psh["text"]["layers"][0]["mlp_in"]["w"].spec == P(None, "model")
+
+    params_tp = jax.device_put(params, psh)
+    bsh = batch_sharding(mesh)
+    sharded = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    l_tp, s_tp = eval_step(params_tp, sharded)
+    assert float(l_ref) == pytest.approx(float(l_tp), rel=1e-5)
+    assert float(s_ref) == pytest.approx(float(s_tp), rel=1e-5)
