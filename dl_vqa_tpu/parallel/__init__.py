@@ -5,6 +5,8 @@ from dl_vqa_tpu.parallel.mesh import (
     make_mesh,
     param_shardings,
     replicated,
+    state_shardings,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated"]
+__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated",
+           "state_shardings"]

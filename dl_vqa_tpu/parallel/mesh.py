@@ -56,6 +56,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def _divisible(leaf, spec: P, mesh: Mesh) -> bool:
+    """device_put with an explicit sharding requires every sharded dim to
+    divide evenly; fall back to replication otherwise (e.g. a vocab of 25
+    rows on a model axis of 2)."""
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if leaf.shape[dim] % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
 def _spec_for(path: str, leaf) -> P:
     """Tensor-parallel placement rules by parameter path.
 
@@ -99,6 +111,44 @@ def param_shardings(params: Dict, mesh: Mesh):
         if isinstance(tree, (list, tuple)):
             walked = [walk(v, f"{prefix}/{i}") for i, v in enumerate(tree)]
             return type(tree)(walked) if isinstance(tree, tuple) else walked
-        return NamedSharding(mesh, _spec_for(prefix, tree))
+        spec = _spec_for(prefix, tree)
+        if not _divisible(tree, spec, mesh):
+            spec = P()
+        return NamedSharding(mesh, spec)
 
     return walk(params, "")
+
+
+def state_shardings(state, p_shardings, mesh: Mesh):
+    """Shardings for a full TrainState: params (and param-shaped optimizer
+    moments, matched by dict-path suffix — Adam's mu/nu mirror the param
+    tree) take the tensor-parallel layout; scalars replicate."""
+    rep = replicated(mesh)
+
+    def for_leaf_path(path, _leaf):
+        keys = []
+        for e in path:
+            k = getattr(e, "key", None) or getattr(e, "name", None)
+            if k is None:
+                idx = getattr(e, "idx", None)  # list entries (layer stacks)
+                k = str(idx) if idx is not None else None
+            if k is not None:
+                keys.append(k)
+        for start in range(len(keys)):
+            node = p_shardings
+            for k in keys[start:]:
+                if isinstance(node, dict) and k in node:
+                    node = node[k]
+                elif isinstance(node, (list, tuple)) and str(k).isdigit() \
+                        and int(k) < len(node):
+                    node = node[int(k)]
+                else:
+                    node = None
+                    break
+            if node is not None and not isinstance(node, (dict, list, tuple)):
+                return node
+        return rep
+
+    import jax as _jax
+
+    return _jax.tree_util.tree_map_with_path(for_leaf_path, state)

@@ -134,6 +134,10 @@ def train(
     dict (``Metrics/BestAccuracy`` etc.)."""
     tx = make_optimizer(train_params.lr)
     state = create_train_state(params, tx)
+    if state_sharding is not None:
+        # Tensor-parallel training: place params + Adam moments in their
+        # mesh layout up front (see parallel.state_shardings).
+        state = jax.device_put(state, state_sharding)
     if opt_restore_path:
         from dl_vqa_tpu.utils.checkpoint import restore_state
 

@@ -122,6 +122,18 @@ def main(cfg: dict) -> float:
     mesh_cfg = cfg["tpu"]["mesh"]
     mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"])
     b_sharding = make_batch_sharding(mesh)
+    state_sharding = None
+    if mesh.shape["model"] > 1:
+        from dl_vqa_tpu.parallel import param_shardings, state_shardings
+        from dl_vqa_tpu.train.steps import make_optimizer
+        from dl_vqa_tpu.train.state import create_train_state
+
+        template = create_train_state(
+            params, make_optimizer(cfg["train"]["lr"]["lr_value"])
+        )
+        state_sharding = state_shardings(
+            template, param_shardings(params, mesh), mesh
+        )
     compute_dtype = jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16" \
         else jnp.float32
     if cfg["tpu"]["debug_nans"]:
@@ -169,6 +181,7 @@ def main(cfg: dict) -> float:
         compute_dtype=compute_dtype,
         seed=cfg["main"]["seed"],
         batch_sharding=b_sharding,
+        state_sharding=state_sharding,
         prefetch_depth=cfg["tpu"]["prefetch_depth"],
         profile_dir=cfg["tpu"]["profile_dir"],
         remat=cfg["tpu"]["remat"],
