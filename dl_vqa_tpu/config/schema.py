@@ -9,7 +9,7 @@ the schema must be present with the right type; extra keys are errors.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, Optional
 
 __all__ = ["CFG_SCHEMA", "validate", "SchemaError"]
 

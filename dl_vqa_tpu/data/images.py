@@ -21,7 +21,7 @@ lives in :mod:`dl_vqa_tpu.data.pipeline`; this cache is the parity path.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List
 
 import numpy as np
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import os
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -1,40 +1,38 @@
-"""Fused conv(k,k,VALID,s=1) + bias + ReLU + maxpool(2,2) Pallas kernel.
+"""Conv(k,k,VALID) + bias + ReLU + maxpool(2,2) blocks: XLA reference path
+plus experimental Pallas fusion kernels.
 
 The reference's image encoder is ``Conv2d -> ReLU -> MaxPool2d(2,2)``
 blocks (``/root/reference/models/model.py:79-84``). On TPU the dominant
-cost of the unfused version is HBM traffic: at batch 512 the first block's
-conv output is a 3.2 GB intermediate written and re-read just to be
-pooled. This kernel computes the POOLED output directly, keeping the conv
-result in VMEM, cutting the block's HBM traffic to input+output only
-(~4x less) — measured ~2.3x faster across the stack on v5e.
+cost is HBM traffic: at batch 512 the first block's conv output is a
+3.2 GB intermediate written and re-read just to be pooled.
 
-Kernel design (one grid program per image):
+STATUS (all measured on v5e, see docs/PERF_NOTES.md for the full table):
+XLA's native conv emitter WINS — every fusion approach here loses to it,
+each for a Mosaic lane-layout reason documented on the respective
+function. The kernels are kept as tested, documented experiments; the
+model's default path is :func:`conv_relu_pool_reference`, and the
+dispatch in :func:`conv_relu_pool` defaults accordingly.
 
-* the whole input image lives in VMEM (<= 1.6 MB for every block of the
-  reference config at 224px);
-* conv rows are produced in chunks of ``2*TR`` (TR = pooled rows per
-  iteration): an in-VMEM im2col gather of the 9 shifted views builds a
-  ``[2*TR*Wc, K*K*Cin]`` patch matrix which hits the MXU as ONE matmul
-  with the full contraction dim (K*K*Cin, e.g. 576 for block 1) instead
-  of 9 thin K=Cin matmuls;
-* bias + ReLU + 2x2 max-pool run on the VPU over the f32 accumulator,
-  only the pooled bf16 tile is written back;
-* the tail chunk is handled by clamping the row start (overlap
-  recompute), so every iteration has static shapes.
+Kernel catalog:
 
-The backward pass is exact: a ``custom_vjp`` re-derives gradients through
-the XLA reference implementation (same math, so d/dx matches the fused
-forward bit-for-bit in f32).
+* :func:`conv_relu_pool_pallas` — per-image tap-matmul conv with in-VMEM
+  relu+pool (relayout copies of the shifted views dominate);
+* :func:`conv_relu_pool_stem` — 4-phase patches matmul computing conv AND
+  pool in one kernel (XLA-side strided patch extraction dominates);
+* :func:`relu_maxpool_pallas` — pool-only kernel over a lane-merged view
+  (the "free view" is a physical relayout under TPU tiled layouts);
+* :func:`maxpool2` — equality-mask pool backward (neutral speed, tie
+  semantics differ; default pool uses standard autodiff).
+
+Backward passes are exact via ``custom_vjp`` recompute through the XLA
+reference implementation.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["conv_relu_pool", "conv_relu_pool_reference", "conv_relu_pool_pallas"]
 

@@ -23,7 +23,7 @@ import numpy as np
 
 from dl_vqa_tpu.data.pipeline import Batcher, prefetch_to_device
 from dl_vqa_tpu.models.configs import ModelConfig
-from dl_vqa_tpu.train.state import TrainState, create_train_state
+from dl_vqa_tpu.train.state import create_train_state
 from dl_vqa_tpu.train.steps import make_eval_step, make_optimizer, make_train_step
 
 __all__ = ["TrainParams", "train", "evaluate", "get_metrics"]

@@ -13,7 +13,6 @@ betas/eps (ref ``train.py:55``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
