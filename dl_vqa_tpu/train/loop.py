@@ -230,11 +230,12 @@ def train(
 
         if train_params.save_model:
             # Crash recovery: overwrite a rolling full-state checkpoint
-            # (params + Adam moments + step) every epoch.
+            # (params + Adam moments + step) every epoch. The serialization
+            # and write run on a background thread off the critical path.
             from dl_vqa_tpu.utils import checkpoint as ckpt
             import os
 
-            ckpt.save_checkpoint(
+            ckpt.save_checkpoint_async(
                 os.path.join(logger.exp_dir, "last.ckpt"), state,
                 epoch=epoch, model_cfg=model_cfg,
             )
@@ -242,6 +243,15 @@ def train(
         metrics = get_metrics(best_eval_score, eval_score, train_loss)
         if epoch > 3 and epochs_no_improve == train_params.n_epochs_stop:
             logger.write("Early stopping!")
-            return metrics
+            return _finish(metrics)
 
+    return _finish(metrics)
+
+
+def _finish(metrics):
+    """Join any in-flight async checkpoint write before handing control
+    back (the rolling last.ckpt must be complete when train() returns)."""
+    from dl_vqa_tpu.utils.checkpoint import wait_for_async_saves
+
+    wait_for_async_saves()
     return metrics

@@ -22,7 +22,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "load_params", "restore_state"]
+__all__ = ["save_checkpoint", "save_checkpoint_async", "load_checkpoint",
+           "load_params", "restore_state", "wait_for_async_saves"]
 
 _SEP = "|"
 
@@ -62,6 +63,44 @@ def save_checkpoint(path: str, state, epoch: Optional[int] = None,
     # np.savez appends .npz; normalize to the requested name.
     if not path.endswith(".npz") and os.path.exists(path + ".npz"):
         os.replace(path + ".npz", path)
+
+
+_async_executor = None
+_pending_save = None
+
+
+def save_checkpoint_async(path: str, state, epoch: Optional[int] = None,
+                          model_cfg=None) -> None:
+    """Write a checkpoint off the training critical path.
+
+    Device arrays are snapshotted to host numpy SYNCHRONOUSLY (so the
+    donated/updated state can't race the write), then serialized and
+    written by a background thread. A second call joins the previous
+    write first, so at most one save is in flight and the rolling file is
+    never written concurrently.
+    """
+    global _async_executor, _pending_save
+    import concurrent.futures
+
+    if _async_executor is None:
+        _async_executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt"
+        )
+    if _pending_save is not None:
+        _pending_save.result()  # surface any previous write error
+
+    snapshot = jax.tree_util.tree_map(np.asarray, state)
+    _pending_save = _async_executor.submit(
+        save_checkpoint, path, snapshot, epoch, model_cfg
+    )
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint write finishes."""
+    global _pending_save
+    if _pending_save is not None:
+        _pending_save.result()
+        _pending_save = None
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:

@@ -312,3 +312,39 @@ def test_load_params_from_torch_pth(tmp_path):
         ref_model.classifier.lin2.bias.detach().numpy(),
         atol=1e-7,
     )
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async save must snapshot the state before the step mutates it and
+    produce a loadable, correct checkpoint after wait."""
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    cfg = _tiny_cfg()
+    params = jax.tree_util.tree_map(
+        np.asarray, vqa.init(jax.random.PRNGKey(4), cfg)
+    )
+    tx = make_optimizer(1e-3)
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+
+    state, _ = step(state, _tiny_batch(cfg), jax.random.PRNGKey(0))
+    snapshot_leaf = np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0]
+    ).copy()
+
+    path = str(tmp_path / "async.npz")
+    ckpt.save_checkpoint_async(path, state, epoch=0)
+    # keep training while the write is in flight (state gets donated)
+    state, _ = step(state, _tiny_batch(cfg, seed=9), jax.random.PRNGKey(1))
+    ckpt.wait_for_async_saves()
+
+    template = create_train_state(
+        jax.tree_util.tree_map(np.asarray, vqa.init(jax.random.PRNGKey(5), cfg)),
+        tx,
+    )
+    restored, epoch = ckpt.restore_state(template, path)
+    assert epoch == 0 and int(restored.step) == 1
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        snapshot_leaf,
+    )
