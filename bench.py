@@ -110,17 +110,17 @@ def make_bench_fn(cfg, pool):
     return run, stacked
 
 
-def bench_train() -> None:
-    """Optional train-throughput mode (`python bench.py --train`): the
-    fused fwd+bwd+Adam step at batch 512, timed per call with scalar sync
-    (donation prevents an on-device loop; the ~30ms dispatch RTT is
+def bench_train(vit: bool = False) -> None:
+    """Optional train-throughput mode (`python bench.py --train [--vit]`):
+    the fused fwd+bwd+Adam step at batch 512, timed per call with scalar
+    sync (donation prevents an on-device loop; the ~30ms dispatch RTT is
     subtracted and reported)."""
     from dl_vqa_tpu.models import vqa
     from dl_vqa_tpu.train.state import create_train_state
     from dl_vqa_tpu.train.steps import make_optimizer, make_train_step
 
     jax.config.update("jax_default_prng_impl", "rbg")  # main.py's default
-    cfg, params = build()
+    cfg, params = build(vit=vit)
     tx = make_optimizer(5e-4)
     state = create_train_state(params, tx)
     step = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16)
@@ -143,19 +143,19 @@ def bench_train() -> None:
             {
                 "metric": "train_samples_per_sec_per_chip",
                 "value": round(samples_per_sec, 1),
-                "unit": "samples/s/chip (fused train step, batch %d, "
-                "RTT-corrected)" % BATCH_SIZE,
+                "unit": "samples/s/chip (%s fused train step, batch %d, "
+                "RTT-corrected)" % ("ViT" if vit else "VQA", BATCH_SIZE),
                 "vs_baseline": None,
             }
         )
     )
 
 
-def bench_latency(batch_size: int = 8) -> None:
-    """Optional serving-latency mode (`python bench.py --latency`):
+def bench_latency(batch_size: int = 8, vit: bool = False) -> None:
+    """Optional serving-latency mode (`python bench.py --latency [--vit]`):
     per-query device latency at a small batch, measured with the
     on-device loop (amortizing dispatch RTT like a pipelined server)."""
-    cfg, params = build()
+    cfg, params = build(vit=vit)
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
     run, staged = make_bench_fn(cfg, pool)
     staged = jax.device_put(staged)
@@ -173,7 +173,8 @@ def bench_latency(batch_size: int = 8) -> None:
             {
                 "metric": "eval_latency_ms_per_batch",
                 "value": round(ms_per_step, 2),
-                "unit": "ms per batch-%d eval step (pipelined)" % batch_size,
+                "unit": "ms per batch-%d %s eval step (pipelined)"
+                % (batch_size, "ViT" if vit else "VQA"),
                 "vs_baseline": None,
             }
         )
@@ -232,9 +233,10 @@ def main(vit: bool = False) -> None:
 if __name__ == "__main__":
     import sys
 
+    vit = "--vit" in sys.argv
     if "--train" in sys.argv:
-        bench_train()
+        bench_train(vit=vit)
     elif "--latency" in sys.argv:
-        bench_latency()
+        bench_latency(vit=vit)
     else:
-        main(vit="--vit" in sys.argv)
+        main(vit=vit)

@@ -23,7 +23,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated"]
+__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated",
+           "state_shardings"]
 
 
 def make_mesh(
@@ -149,6 +150,4 @@ def state_shardings(state, p_shardings, mesh: Mesh):
                 return node
         return rep
 
-    import jax as _jax
-
-    return _jax.tree_util.tree_map_with_path(for_leaf_path, state)
+    return jax.tree_util.tree_map_with_path(for_leaf_path, state)

@@ -134,15 +134,17 @@ def train(
     dict (``Metrics/BestAccuracy`` etc.)."""
     tx = make_optimizer(train_params.lr)
     state = create_train_state(params, tx)
-    if state_sharding is not None:
-        # Tensor-parallel training: place params + Adam moments in their
-        # mesh layout up front (see parallel.state_shardings).
-        state = jax.device_put(state, state_sharding)
     if opt_restore_path:
         from dl_vqa_tpu.utils.checkpoint import restore_state
 
         state, restored_epoch = restore_state(state, opt_restore_path)
         logger.write(f"Restored full train state, epoch: {restored_epoch}")
+    if state_sharding is not None:
+        # Tensor-parallel training: place params + Adam moments in their
+        # mesh layout up front (see parallel.state_shardings). Must follow
+        # any restore — restore_state returns host arrays, which would
+        # silently drop an earlier placement.
+        state = jax.device_put(state, state_sharding)
 
     train_step = make_train_step(model_cfg, tx, compute_dtype, remat=remat)
     eval_step = make_eval_step(model_cfg, compute_dtype)

@@ -128,8 +128,13 @@ def main(cfg: dict) -> float:
         from dl_vqa_tpu.train.steps import make_optimizer
         from dl_vqa_tpu.train.state import create_train_state
 
-        template = create_train_state(
-            params, make_optimizer(cfg["train"]["lr"]["lr_value"])
+        # eval_shape: sharding derivation needs only structure + shapes —
+        # no real (unsharded, 3x-param-sized) state allocation.
+        template = jax.eval_shape(
+            lambda p: create_train_state(
+                p, make_optimizer(cfg["train"]["lr"]["lr_value"])
+            ),
+            params,
         )
         state_sharding = state_shardings(
             template, param_shardings(params, mesh), mesh
