@@ -80,13 +80,16 @@ def make_train_step(
     in_shardings=None,
     out_shardings=None,
     remat: bool = False,
+    jit: bool = True,
 ):
     """Build the jitted fused train step.
 
     ``train_step(state, batch, rng) -> (state, metrics)``; the state is
     donated so the update happens in place on device. ``remat=True``
     rematerializes the forward during backward (trades FLOPs for HBM —
-    for bigger batches / deeper conv stacks).
+    for bigger batches / deeper conv stacks). ``jit=False`` returns the
+    raw step function for embedding in a larger traced program (e.g. the
+    on-device benchmark loop in ``bench.py``).
     """
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
@@ -111,6 +114,8 @@ def make_train_step(
         )
         return new_state, {"loss": loss, "score": score}
 
+    if not jit:
+        return step_fn
     kwargs = {}
     if in_shardings is not None:
         kwargs["in_shardings"] = in_shardings
