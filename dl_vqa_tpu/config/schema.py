@@ -63,6 +63,7 @@ CFG_SCHEMA: Dict[str, Any] = {
             "bidirectional": bool,
             "num_heads": int,          # transformer variant only
             "num_layers": int,         # transformer variant only
+            "max_positions": int,      # transformer variant only
         },
         "image": {
             # 'cnn' (reference parity) or 'vit' (patch transformer)

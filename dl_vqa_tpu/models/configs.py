@@ -24,6 +24,7 @@ class TextConfig:
     bidirectional: bool = True
     num_heads: int = 8                 # transformer only
     num_layers: int = 2                # transformer only
+    max_positions: int = 64            # transformer only: positional table size
 
     @property
     def output_features(self) -> int:
@@ -103,6 +104,7 @@ class ModelConfig:
                 bidirectional=t["bidirectional"],
                 num_heads=t.get("num_heads", 8),
                 num_layers=t.get("num_layers", 2),
+                max_positions=t.get("max_positions", 64),
             ),
             image=ImageConfig(
                 encoder=i.get("encoder", "cnn"),

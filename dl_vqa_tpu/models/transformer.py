@@ -36,9 +36,13 @@ def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 
 def init_transformer_text(key, num_tokens: int, embedding_features: int,
                           model_dim: int, num_heads: int,
-                          num_layers: int) -> Dict:
+                          num_layers: int, max_positions: int = 64) -> Dict:
     """Parameter tree: embedding, input proj, positional embedding,
-    ``num_layers`` pre-LN blocks, final LN."""
+    ``num_layers`` pre-LN blocks, final LN.
+
+    ``max_positions`` sizes the learned positional table
+    (``train.text.max_positions``); it must cover the dataset's
+    ``max_question_length``."""
     keys = jax.random.split(key, 4 + 4 * num_layers)
     params: Dict = {
         "embedding": init_lib.embedding_params(
@@ -47,8 +51,9 @@ def init_transformer_text(key, num_tokens: int, embedding_features: int,
         "in_proj": init_lib.linear_params(
             keys[1], embedding_features, model_dim
         ),
-        # Learned positions for up to 64 tokens (VQA questions are ~23).
-        "pos": jax.random.normal(keys[2], (64, model_dim), jnp.float32) * 0.02,
+        "pos": jax.random.normal(
+            keys[2], (max_positions, model_dim), jnp.float32
+        ) * 0.02,
         "final_ln": {
             "scale": jnp.ones(model_dim), "bias": jnp.zeros(model_dim)
         },
@@ -117,6 +122,12 @@ def apply_transformer_text(
     from dl_vqa_tpu.models.vqa import _dropout, _site_rng
 
     seq = questions.shape[1]
+    if seq > params["pos"].shape[0]:
+        raise ValueError(
+            f"Question length {seq} exceeds the positional table size "
+            f"{params['pos'].shape[0]}; raise train.text.max_positions to "
+            f"at least the dataset's max_question_length and retrain."
+        )
     mask = jnp.arange(seq)[None, :] < lengths[:, None]
 
     def site_rng(site):

@@ -115,6 +115,13 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                 preferred_element_type=jnp.float32)
         + params["patch_embed"]["b"]
     )
+    if gh * gw > params["pos"].shape[0]:
+        raise ValueError(
+            f"Patch grid {gh}x{gw} ({gh * gw} tokens) exceeds the "
+            f"positional table size {params['pos'].shape[0]}; the model was "
+            f"initialized for image_size/patch_size = "
+            f"{int(params['pos'].shape[0] ** 0.5)} patches per side."
+        )
     x = (x + params["pos"][: gh * gw]).astype(dtype)
     x = _dropout(x, dropout, train, _site_rng(rng, 20))
 

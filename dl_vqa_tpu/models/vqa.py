@@ -85,6 +85,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
         params["text"] = init_transformer_text(
             keys[0], cfg.num_tokens, t.embedding_features,
             t.question_features, t.num_heads, t.num_layers,
+            max_positions=t.max_positions,
         )
     else:
         raise NotImplementedError(f"text encoder {t.encoder!r}")

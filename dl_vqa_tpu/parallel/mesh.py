@@ -17,6 +17,7 @@ names compose with a future outer mesh.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -103,8 +104,25 @@ def _spec_for(path: str, leaf) -> P:
     return P()
 
 
+# Leaves at least this large falling back to replication cost real HBM and
+# lose real tensor parallelism — worth a loud warning. Biases and small
+# projections replicate silently by design.
+_WARN_FALLBACK_ELEMENTS = 65_536
+
+
 def param_shardings(params: Dict, mesh: Mesh):
-    """A NamedSharding pytree matching ``params``."""
+    """A NamedSharding pytree matching ``params``.
+
+    Leaves whose tensor-parallel spec does not divide evenly fall back to
+    replication; large ones (>= ``_WARN_FALLBACK_ELEMENTS`` elements) emit a
+    warning naming the leaf and the offending dims, because a big layer
+    quietly losing its 'model'-axis split defeats the point of tp. We warn
+    rather than pad: padding would make parameter shapes depend on the mesh,
+    breaking checkpoint portability and reference-``.pth`` interop. To fix a
+    warned leaf, size the dim to a multiple of the model axis (e.g. round
+    ``max_answers`` / the vocab up) or shrink ``tpu.mesh.model``.
+    """
+    fallbacks = []
 
     def walk(tree, prefix):
         if isinstance(tree, dict):
@@ -114,10 +132,24 @@ def param_shardings(params: Dict, mesh: Mesh):
             return type(tree)(walked) if isinstance(tree, tuple) else walked
         spec = _spec_for(prefix, tree)
         if not _divisible(tree, spec, mesh):
+            if int(np.prod(tree.shape)) >= _WARN_FALLBACK_ELEMENTS:
+                fallbacks.append((prefix, tuple(tree.shape), spec))
             spec = P()
         return NamedSharding(mesh, spec)
 
-    return walk(params, "")
+    shardings = walk(params, "")
+    if fallbacks:
+        details = "; ".join(
+            f"{path} shape={shape} wanted {spec}"
+            for path, shape, spec in fallbacks
+        )
+        logging.getLogger(__name__).warning(
+            "tensor-parallel fallback to replication on mesh %s for: %s — "
+            "make the sharded dim a multiple of the 'model' axis "
+            "(round max_answers / vocab up) or reduce tpu.mesh.model",
+            dict(mesh.shape), details,
+        )
+    return shardings
 
 
 def state_shardings(state, p_shardings, mesh: Mesh):

@@ -153,6 +153,12 @@ def train(
     best_eval_score = 0.0
     epochs_no_improve = 0
     metrics: Dict[str, float] = {}
+    # Recorded in checkpoint metadata so the predictor encodes questions at
+    # the trained length instead of assuming a default.
+    max_q_len = getattr(train_batcher.dataset, "max_question_length", None)
+    ckpt_meta = (
+        {"max_question_length": int(max_q_len)} if max_q_len else None
+    )
 
     for epoch in range(train_params.num_epochs):
         # Profile the second epoch: the first is dominated by compilation.
@@ -226,7 +232,8 @@ def train(
             epochs_no_improve = 0
             best_eval_score = eval_score
             if train_params.save_model:
-                logger.save_model(state, epoch, model_cfg)
+                logger.save_model(state, epoch, model_cfg,
+                                  extra_meta=ckpt_meta)
         else:
             epochs_no_improve += 1
 
@@ -239,7 +246,7 @@ def train(
 
             ckpt.save_checkpoint_async(
                 os.path.join(logger.exp_dir, "last.ckpt"), state,
-                epoch=epoch, model_cfg=model_cfg,
+                epoch=epoch, model_cfg=model_cfg, extra_meta=ckpt_meta,
             )
 
         metrics = get_metrics(best_eval_score, eval_score, train_loss)

@@ -48,14 +48,20 @@ def _path_str(entry) -> str:
 
 
 def save_checkpoint(path: str, state, epoch: Optional[int] = None,
-                    model_cfg=None) -> None:
-    """Save a TrainState (or bare params tree) to ``path`` (npz)."""
+                    model_cfg=None, extra_meta: Optional[Dict] = None) -> None:
+    """Save a TrainState (or bare params tree) to ``path`` (npz).
+
+    ``extra_meta`` merges additional JSON-serializable entries into the
+    checkpoint metadata (e.g. the dataset's ``max_question_length`` so the
+    predictor can encode questions at the trained length)."""
     payload = _flatten(state)
     meta = {"epoch": epoch}
     if model_cfg is not None:
         import dataclasses
 
         meta["model_cfg"] = dataclasses.asdict(model_cfg)
+    if extra_meta:
+        meta.update(extra_meta)
     payload["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
@@ -70,7 +76,8 @@ _pending_save = None
 
 
 def save_checkpoint_async(path: str, state, epoch: Optional[int] = None,
-                          model_cfg=None) -> None:
+                          model_cfg=None,
+                          extra_meta: Optional[Dict] = None) -> None:
     """Write a checkpoint off the training critical path.
 
     Device arrays are snapshotted to host numpy SYNCHRONOUSLY (so the
@@ -91,7 +98,7 @@ def save_checkpoint_async(path: str, state, epoch: Optional[int] = None,
 
     snapshot = jax.tree_util.tree_map(np.asarray, state)
     _pending_save = _async_executor.submit(
-        save_checkpoint, path, snapshot, epoch, model_cfg
+        save_checkpoint, path, snapshot, epoch, model_cfg, extra_meta
     )
 
 

@@ -12,6 +12,7 @@ otherwise.
 
 from __future__ import annotations
 
+import itertools
 import logging
 import os
 from datetime import datetime
@@ -107,31 +108,40 @@ class TrainLogger:
 
     # ----------------------------------------------------------- checkpoint
 
-    def save_model(self, state, epoch: int, model_cfg=None) -> str:
+    def save_model(self, state, epoch: int, model_cfg=None,
+                   extra_meta=None) -> str:
         """Save the best-model checkpoint into the experiment dir
         (best-eval-gated by the train loop, like ref train.py:129-133)."""
         from dl_vqa_tpu.utils import checkpoint as ckpt
 
         path = os.path.join(self.exp_dir, "model.ckpt")
         self.write(f"Saving model to {path}")
-        ckpt.save_checkpoint(path, state, epoch=epoch, model_cfg=model_cfg)
+        ckpt.save_checkpoint(path, state, epoch=epoch, model_cfg=model_cfg,
+                             extra_meta=extra_meta)
         return path
 
     # ----------------------------------------------------------- internals
 
-    @staticmethod
-    def _init_logger(exp_dir: str, exp_name: str) -> logging.Logger:
-        logger = logging.getLogger(f"TRAIN.{exp_name}")
+    # Experiment names have one-second resolution; a per-process sequence
+    # keeps the logging channel unique so two TrainLoggers created within
+    # the same second don't share handlers (the second one would otherwise
+    # silently log into the first one's file and get no file of its own).
+    _seq = itertools.count()
+
+    @classmethod
+    def _init_logger(cls, exp_dir: str, exp_name: str) -> logging.Logger:
+        logger = logging.getLogger(f"TRAIN.{exp_name}.{next(cls._seq)}")
         logger.setLevel(logging.INFO)
         logger.propagate = False
-        formatter = logging.Formatter("[%(asctime)s] [%(name)s] - %(message)s")
-        if not logger.handlers:
-            console = logging.StreamHandler()
-            console.setFormatter(formatter)
-            logger.addHandler(console)
-            fileh = logging.FileHandler(
-                os.path.join(exp_dir, f"{exp_name}.log")
-            )
-            fileh.setFormatter(formatter)
-            logger.addHandler(fileh)
+        formatter = logging.Formatter(
+            f"[%(asctime)s] [TRAIN.{exp_name}] - %(message)s"
+        )
+        console = logging.StreamHandler()
+        console.setFormatter(formatter)
+        logger.addHandler(console)
+        fileh = logging.FileHandler(
+            os.path.join(exp_dir, f"{exp_name}.log")
+        )
+        fileh.setFormatter(formatter)
+        logger.addHandler(fileh)
         return logger

@@ -49,6 +49,16 @@ class Predictor:
         )
         template = vqa.init(jax.random.PRNGKey(0), self.model_cfg)
         self.params = load_params(checkpoint_path, template)
+        # Encode questions at the length the checkpoint was trained with
+        # (stored in npz metadata); 23 is only the legacy fallback for
+        # reference .pth checkpoints / pre-metadata saves.
+        self.max_question_length = 23
+        if not checkpoint_path.endswith((".pth", ".pt")):
+            from dl_vqa_tpu.utils.checkpoint import load_checkpoint
+
+            _, meta = load_checkpoint(checkpoint_path)
+            if meta.get("max_question_length"):
+                self.max_question_length = int(meta["max_question_length"])
         compute_dtype = (
             jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16"
             else jnp.float32
@@ -64,11 +74,14 @@ class Predictor:
 
     # ------------------------------------------------------------- text
 
-    def encode_questions(self, questions: Sequence[str], max_len: int = 23):
+    def encode_questions(self, questions: Sequence[str],
+                         max_len: Optional[int] = None):
         import numpy as np
 
         from dl_vqa_tpu.data.text import normalize_question
 
+        if max_len is None:
+            max_len = self.max_question_length
         encoded = np.zeros((len(questions), max_len), dtype=np.int32)
         lengths = np.zeros(len(questions), dtype=np.int32)
         for i, q in enumerate(questions):

@@ -102,3 +102,33 @@ def test_question_mark_optional(setup):
     enc1, len1 = predictor.encode_questions(["what is the cat"])
     enc2, len2 = predictor.encode_questions(["what is the cat?"])
     np.testing.assert_array_equal(enc1, enc2)
+
+
+def test_max_question_length_from_checkpoint(setup, tmp_path):
+    """A checkpoint trained at a non-default max question length round-trips:
+    the predictor encodes at the stored length, not a hard-coded 23."""
+    from dl_vqa_tpu.models import ModelConfig, vqa
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+    from predict import Predictor
+
+    cfg, profile, ds, root = setup
+    model_cfg = ModelConfig.from_cfg(cfg["train"], ds.num_tokens)
+    params = vqa.init(jax.random.PRNGKey(0), model_cfg)
+    path = str(tmp_path / "long.ckpt")
+    ckpt.save_checkpoint(path, params, model_cfg=model_cfg,
+                         extra_meta={"max_question_length": 37})
+    predictor = Predictor(
+        cfg, checkpoint_path=path,
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    assert predictor.max_question_length == 37
+    encoded, lengths = predictor.encode_questions(["what is the cat?"])
+    assert encoded.shape == (1, 37)
+    # Legacy checkpoint without the metadata falls back to 23.
+    legacy = Predictor(
+        cfg, checkpoint_path=f"{root}/model.ckpt",
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    assert legacy.max_question_length == 23

@@ -216,3 +216,51 @@ def test_tensor_parallel_vit_transformer_eval_matches():
     l_tp, s_tp = eval_step(params_tp, sharded)
     assert float(l_ref) == pytest.approx(float(l_tp), rel=1e-5)
     assert float(s_ref) == pytest.approx(float(s_tp), rel=1e-5)
+
+
+def test_reference_scale_classifier_actually_sharded_on_model_axis():
+    """At reference scale (3000 answers, 1024-hidden classifier) on a
+    model=2 mesh the megatron split must actually land: lin1 column-sharded,
+    lin2 row-sharded, embedding vocab-sharded — not silently replicated."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _cfg(),
+        classifier=ClassifierConfig(hidden_dim=1024, dropout=0.0),
+        max_answers=3000,
+        num_tokens=15_194,  # even: divides the model axis
+    )
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(data=4, model=2)
+    shardings = param_shardings(params, mesh)
+    assert shardings["classifier"]["lin1"]["w"].spec == P(None, "model")
+    assert shardings["classifier"]["lin2"]["w"].spec == P("model", None)
+    assert shardings["text"]["embedding"].spec == P("model", None)
+
+
+def test_non_divisible_tensor_parallel_dim_warns(caplog):
+    """A big leaf quietly losing its 'model' split must warn loudly
+    (VERDICT r1 #6); small leaves may replicate silently."""
+    import dataclasses
+    import logging as pylogging
+
+    cfg = dataclasses.replace(
+        _cfg(),
+        classifier=ClassifierConfig(hidden_dim=1024, dropout=0.0),
+        max_answers=3000,
+        num_tokens=15_193,    # the actual reference vocab size — odd, so the
+    )                         # embedding can't split its rows on model=2
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(data=4, model=2)
+    with caplog.at_level(pylogging.WARNING, logger="dl_vqa_tpu.parallel.mesh"):
+        shardings = param_shardings(params, mesh)
+    assert shardings["text"]["embedding"].spec == P()
+    warned = [r for r in caplog.records if "fallback to replication" in r.message]
+    assert warned, "expected a tensor-parallel fallback warning"
+    assert "text/embedding" in warned[0].getMessage()
+    # The small cfg from _cfg() (16-answer classifier) must NOT warn.
+    caplog.clear()
+    small = vqa.init(jax.random.PRNGKey(0), _cfg())
+    with caplog.at_level(pylogging.WARNING, logger="dl_vqa_tpu.parallel.mesh"):
+        param_shardings(small, make_mesh(data=4, model=2))
+    assert not [r for r in caplog.records if "fallback" in r.message]

@@ -196,3 +196,46 @@ def test_vit_image_encoder(text_enc, att):
     leaves = jax.tree_util.tree_leaves(grads["image"])
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_transformer_positional_table_sized_from_config():
+    """max_positions sizes the learned positional table; questions past the
+    cap fail with an actionable error, not an opaque broadcast (VERDICT r1)."""
+    import dataclasses
+    cfg = _cfg(encoder="transformer")
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, max_positions=80)
+    )
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    assert params["text"]["pos"].shape[0] == 80
+
+    # 70-token question: beyond the old hard-coded 64, within max_positions.
+    batch = 2
+    questions = jnp.ones((batch, 70), dtype=jnp.int32)
+    lengths = jnp.array([70, 65], dtype=jnp.int32)
+    images = jnp.zeros((batch, cfg.image_size, cfg.image_size, 3))
+    logits = vqa.apply(params, cfg, images, questions, lengths)
+    assert logits.shape == (batch, cfg.max_answers)
+
+    # Past the table: clear ValueError naming the config knob.
+    too_long = jnp.ones((batch, 81), dtype=jnp.int32)
+    with pytest.raises(ValueError, match="max_positions"):
+        vqa.apply(params, cfg, images, too_long,
+                  jnp.array([81, 81], dtype=jnp.int32))
+
+
+def test_vit_positional_table_overflow_is_actionable():
+    import dataclasses
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        image=dataclasses.replace(
+            cfg.image, encoder="vit", patch_size=8, num_layers=1, num_heads=2,
+            num_channels=(3, 16),
+        ),
+    )
+    params = vqa.init(jax.random.PRNGKey(0), cfg)  # 32px -> 4x4 patch grid
+    _, questions, lengths = _batch(cfg)
+    big = jnp.zeros((4, 64, 64, 3))  # 8x8 grid > 16-entry table
+    with pytest.raises(ValueError, match="positional table"):
+        vqa.apply(params, cfg, big, questions, lengths)
