@@ -9,9 +9,13 @@ search space, with ``max_trials`` and early stopping after
 The default space is the reference's active one — ``train.image.stride in
 {1, 2}`` x ``train.attention.do_option in {'+', '*'}`` — explored
 exhaustively when the space is small (<= max_trials points, where grid ==
-any optimizer) and by seeded random search otherwise.
+any optimizer). Larger spaces use model-based Bayesian search: a
+categorical TPE (:mod:`dl_vqa_tpu.utils.tpe`) proposing each next trial
+from the good/bad density ratio of the history, matching the Ax sweeper's
+capability. ``--sampler random`` keeps seeded random search as a baseline.
 
-    python sweep.py [--trials N] [--space key=v1,v2 ...] [overrides...]
+    python sweep.py [--trials N] [--sampler tpe|random]
+                    [--space key=v1,v2 ...] [overrides...]
 """
 
 from __future__ import annotations
@@ -46,22 +50,34 @@ def parse_space(items: Sequence[str]) -> Dict[str, List]:
     return space
 
 
-def candidates(space: Dict[str, List], max_trials: int,
-               seed: int) -> List[Dict]:
+def _full_grid(space: Dict[str, List]) -> List[Dict]:
     keys = list(space)
-    grid = [dict(zip(keys, combo))
+    return [dict(zip(keys, combo))
             for combo in itertools.product(*(space[k] for k in keys))]
-    if len(grid) <= max_trials:
-        return grid
-    rng = random.Random(seed)
-    rng.shuffle(grid)
-    return grid[:max_trials]
+
+
+def _next_assignment(space: Dict[str, List], grid: List[Dict],
+                     history: List[Dict], trial: int, sampler: str,
+                     rng: random.Random):
+    """Next point: exhaustive when the grid fits in the budget (== optimal),
+    else TPE (model-based) or seeded random-without-replacement."""
+    if grid is not None:
+        return grid[trial] if trial < len(grid) else None
+    pairs = [(h["assignment"], h["value"]) for h in history]
+    if sampler == "random":
+        from dl_vqa_tpu.utils.tpe import suggest
+
+        # n_startup=inf degrades TPE to uniform random over untried points.
+        return suggest(space, pairs, rng, n_startup=10 ** 9)
+    from dl_vqa_tpu.utils.tpe import suggest
+
+    return suggest(space, pairs, rng)
 
 
 def run_sweep(space: Dict[str, List], max_trials: int,
               base_overrides: Sequence[str], seed: int = 0,
               max_stagnant: int = 4,
-              runner=None) -> Tuple[Dict, float, List]:
+              runner=None, sampler: str = "tpe") -> Tuple[Dict, float, List]:
     """Returns (best_assignment, best_value, history)."""
     if runner is None:
         from dl_vqa_tpu import config as config_mod
@@ -71,10 +87,19 @@ def run_sweep(space: Dict[str, List], max_trials: int,
             cfg = config_mod.compose("config", overrides=list(overrides))
             return main_mod.main(cfg)
 
+    grid = _full_grid(space)
+    grid = grid if len(grid) <= max_trials else None  # None => model-based
+    rng = random.Random(seed)
+
     best_value, best_assignment = float("-inf"), None
     stagnant = 0
-    history = []
-    for trial, assignment in enumerate(candidates(space, max_trials, seed)):
+    history: List[Dict] = []
+    for trial in range(max_trials):
+        assignment = _next_assignment(
+            space, grid, history, trial, sampler, rng
+        )
+        if assignment is None:  # space exhausted
+            break
         overrides = list(base_overrides) + [
             f"{k}={json.dumps(v)}" for k, v in assignment.items()
         ]
@@ -101,9 +126,13 @@ if __name__ == "__main__":
     parser.add_argument("--stagnant", type=int, default=4)
     parser.add_argument("--space", action="append", default=[],
                         help="key=v1,v2 (repeatable); default: reference space")
+    parser.add_argument("--sampler", choices=("tpe", "random"),
+                        default="tpe",
+                        help="search strategy when the space exceeds the "
+                             "trial budget (default: TPE Bayesian search)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args()
 
     space = parse_space(args.space) if args.space else DEFAULT_SPACE
     run_sweep(space, args.trials, args.overrides, seed=args.seed,
-              max_stagnant=args.stagnant)
+              max_stagnant=args.stagnant, sampler=args.sampler)

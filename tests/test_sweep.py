@@ -5,17 +5,63 @@ import sweep
 
 
 def test_grid_when_space_fits():
+    """A space no bigger than the budget is swept exhaustively (grid ==
+    optimal there, matching the reference's 4-point Ax space)."""
     space = {"a": [1, 2], "b": ["x", "y"]}
-    cands = sweep.candidates(space, max_trials=4, seed=0)
-    assert len(cands) == 4
-    assert {"a": 1, "b": "x"} in cands and {"a": 2, "b": "y"} in cands
+    _, _, history = sweep.run_sweep(
+        space, max_trials=4, base_overrides=[], max_stagnant=99,
+        runner=lambda overrides: 0.0,
+    )
+    tried = {tuple(sorted(h["assignment"].items())) for h in history}
+    assert len(history) == 4 and len(tried) == 4
 
 
-def test_random_subset_when_space_large():
+def test_random_sampler_draws_distinct_points():
     space = {"a": list(range(10)), "b": list(range(10))}
-    cands = sweep.candidates(space, max_trials=5, seed=1)
-    assert len(cands) == 5
-    assert len({tuple(sorted(c.items())) for c in cands}) == 5
+    _, _, history = sweep.run_sweep(
+        space, max_trials=5, base_overrides=[], seed=1, max_stagnant=99,
+        runner=lambda overrides: 0.0, sampler="random",
+    )
+    tried = {tuple(sorted(h["assignment"].items())) for h in history}
+    assert len(history) == 5 and len(tried) == 5
+
+
+def test_tpe_beats_random_on_synthetic_surface():
+    """The Bayesian path (TPE) must find the optimum of a seeded synthetic
+    response surface in fewer trials than random search (the capability
+    the reference got from its Hydra-Ax plugin, config.yaml:91-132)."""
+    keys = [f"k{i}" for i in range(5)]
+    space = {k: [0, 1, 2, 3] for k in keys}
+    # Separable surface with a unique optimum (value 25), per-key permuted.
+    perm = {k: [(j * 7 + i) % 4 for j in range(4)]
+            for i, k in enumerate(keys)}
+    scores = [0.0, 1.0, 2.0, 5.0]
+
+    def make_runner():
+        def runner(overrides):
+            a = {o.split("=")[0]: int(o.split("=")[1]) for o in overrides
+                 if o.split("=")[0] in space}
+            return sum(scores[perm[k][a[k]]] for k in keys)
+        return runner
+
+    optimum = sum(max(scores[perm[k][v]] for v in range(4)) for k in keys)
+    results = {}
+    for sampler in ("tpe", "random"):
+        bests, hits = [], 0
+        for seed in range(8):
+            _, val, _ = sweep.run_sweep(
+                space, max_trials=30, base_overrides=[], seed=seed,
+                max_stagnant=10 ** 9, runner=make_runner(), sampler=sampler,
+            )
+            bests.append(val)
+            hits += val == optimum
+        results[sampler] = (sum(bests) / len(bests), hits)
+
+    # Measured margins are wide (tpe ~24.6/7-hits vs random ~19.1/1-hit);
+    # asserted with slack so the test stays robust to suggester tweaks.
+    assert results["tpe"][0] > results["random"][0] + 1.0
+    assert results["tpe"][1] > results["random"][1]
+    assert results["tpe"][1] >= 5
 
 
 def test_run_sweep_maximizes():
