@@ -173,6 +173,12 @@ def train(
         for batch in prefetch_to_device(
             iter(train_batcher), batch_sharding, prefetch_depth
         ):
+            if epoch == 0 and loss_total is None and hasattr(
+                logger, "report_compiled_graph"
+            ):
+                # Once per run, on the first batch: the reference's TB
+                # model-graph hook, delivered as the step's StableHLO.
+                logger.report_compiled_graph(train_step, state, batch, rng)
             state, step_metrics = train_step(state, batch, rng)
             loss, score = step_metrics["loss"], step_metrics["score"]
             loss_total = loss if loss_total is None else loss_total + loss

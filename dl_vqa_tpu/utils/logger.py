@@ -106,6 +106,31 @@ class TrainLogger:
             pass
         self.write(text)
 
+    def report_compiled_graph(self, jitted_fn, *example_args) -> Optional[str]:
+        """TPU-native equivalent of the reference's TensorBoard model-graph
+        hook (ref train_logger.py:87-93): dump the jitted train step's
+        lowered StableHLO module — the actual compiled-program structure —
+        to ``exp_dir/train_step_hlo.txt`` and TensorBoard text.
+
+        ``lower()`` only traces (no device compile), so this is cheap; any
+        failure degrades to a warning rather than breaking training."""
+        try:
+            text = jitted_fn.lower(*example_args).as_text()
+        except Exception as exc:  # never let observability kill a run
+            self.write(f"HLO graph dump failed: {exc}", severity="warning")
+            return None
+        path = os.path.join(self.exp_dir, "train_step_hlo.txt")
+        with open(path, "w") as fd:
+            fd.write(text)
+        try:
+            self.tensorboard_writer.add_text(
+                "model/hlo", text[:65536], 0
+            )
+        except AttributeError:
+            pass
+        self.write(f"Jitted train-step HLO ({len(text)} bytes) -> {path}")
+        return path
+
     # ----------------------------------------------------------- checkpoint
 
     def save_model(self, state, epoch: int, model_cfg=None,

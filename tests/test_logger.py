@@ -60,3 +60,24 @@ def test_save_model_and_graph(logger, tmp_path):
         jax.tree_util.tree_leaves(params)
     )
     logger.report_graph(params, cfg)  # text summary; must not raise
+
+
+def test_report_compiled_graph_dumps_hlo(logger):
+    """The TB model-graph equivalent: the jitted step's StableHLO must land
+    in the experiment dir and be reported (ref train_logger.py:87-93)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(x, y):
+        return jnp.tanh(x @ y).sum()
+
+    x = jnp.ones((4, 8))
+    y = jnp.ones((8, 2))
+    path = logger.report_compiled_graph(step, x, y)
+    assert path is not None and os.path.exists(path)
+    text = open(path).read()
+    assert "module" in text and "tanh" in text
+
+    # Failure degrades to a warning, never an exception.
+    assert logger.report_compiled_graph(step, "not-an-array") is None
