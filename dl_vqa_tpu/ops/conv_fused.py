@@ -424,6 +424,88 @@ def conv_relu_pool_stem(x, w, b, interpret=False):
     return out
 
 
+# ------------------------------------------- fast whole-block backward
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_relu_pool_fastgrad(x, w, b, stride=1):
+    """conv+bias+relu+maxpool with a hand-structured backward.
+
+    Forward math is identical to :func:`conv_relu_pool_reference`; the
+    backward restructures where the elementwise work happens. XLA's
+    default pipeline pays three full-size (conv-output, e.g. 3.2 GB for
+    conv0 at batch 512) passes beyond the convs themselves: a relu
+    rematerialization, the windowed ``select_and_scatter`` (maxpool
+    gradient), and a separate ``reduce_sum`` of the full cotangent for
+    the bias grad. Two observations remove all but the scatter:
+
+    * select_and_scatter routes each pool window's cotangent to exactly
+      one position, so the bias grad equals the POOLED-side reduction
+      ``(g * (pooled > 0)).sum()`` — no full-size read;
+    * the relu gate can likewise be applied on the pooled side
+      (``g * (pooled > 0)``) BEFORE the scatter: a window whose max is
+      positive routes to a position where relu passes anyway, and a
+      window whose max is zero must contribute zero gradient.
+
+    The relu output ``y`` is kept as a residual (already materialized by
+    the forward), so nothing is rematerialized; dz then feeds XLA's
+    conv-transpose emitters for dx/dw. dx and dw are bit-identical to
+    plain autodiff of the reference implementation (same
+    select_and_scatter tie semantics); db matches up to reduction-order
+    rounding (pooled-side sum vs full-size sum of the same values).
+    Asserted in tests/test_pallas.py.
+
+    Measured on v5e (batch 512, reference scale): XLA-default backward
+    spends ~39 ms on conv0 alone (relu remat 10.3 + select_and_scatter
+    11.4 + bias-grad reduce 8.5 + dw 9.0); see the train-backward table
+    in docs/PERF_NOTES.md for what this path removes.
+    """
+    return conv_relu_pool_reference(x, w, b, stride)
+
+
+def _fastgrad_fwd(x, w, b, stride):
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jax.nn.relu(out.astype(jnp.float32) + b).astype(x.dtype)
+    pooled = _maxpool2_forward(y)
+    # NB: b's cotangent dtype is recovered from w (params share a dtype
+    # here); b itself isn't needed for any backward value.
+    return pooled, (x, w, y, pooled)
+
+
+def _fastgrad_bwd(stride, residuals, g):
+    x, w, y, pooled = residuals
+
+    # Relu gate on the POOLED side (see the op docstring for why this is
+    # exact), fused by XLA with the bias-grad reduction below — both run
+    # over pooled-size tensors (1/4 of the conv output).
+    g_gated = (g * (pooled > 0)).astype(y.dtype)
+    db = g_gated.astype(jnp.float32).sum(axis=(0, 1, 2))
+
+    # Maxpool backward via the pool's own VJP (select_and_scatter) on the
+    # saved relu output — no rematerialization pass.
+    _, pool_vjp = jax.vjp(_maxpool2_forward, y)
+    (dz,) = pool_vjp(g_gated)
+
+    def conv_only(x_, w_):
+        return jax.lax.conv_general_dilated(
+            x_, w_.astype(x_.dtype),
+            window_strides=(stride, stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, conv_vjp = jax.vjp(conv_only, x, w)
+    dx, dw = conv_vjp(dz)
+    return dx, dw, db.astype(w.dtype)
+
+
+conv_relu_pool_fastgrad.defvjp(_fastgrad_fwd, _fastgrad_bwd)
+
+
 # ------------------------------------------------------------- dispatch
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -455,6 +537,7 @@ def conv_relu_pool(
     stride: int = 1,
     use_pallas: bool = False,
     interpret: bool = False,
+    fast_backward: bool = True,
 ) -> jnp.ndarray:
     """Fused conv+relu+pool block.
 
@@ -464,9 +547,21 @@ def conv_relu_pool(
     traffic (measured 29ms vs 10ms for the 111px/64ch block at batch 512).
     The kernel is kept as an optional path (and for the RGB stem it is
     never eligible: cin < 16 pads the contraction dim to 128 lanes).
+
+    ``fast_backward=True`` is the measured default for the gradient path:
+    the hand-structured whole-block backward (pooled-side relu gate +
+    bias grad, no relu remat / full-size bias reduce; see
+    :func:`conv_relu_pool_fastgrad`) raised the fused train step from
+    3,350 to 4,229 samples/s/chip on v5e (batch 512, reference scale;
+    5,009 combined with the u8 dropout masks and bf16 attention-hidden
+    storage — docs/PERF_NOTES.md). Forward math, eval, and gradient
+    values (select_and_scatter tie semantics included) are identical
+    either way.
     """
     on_tpu = jax.default_backend() == "tpu"
     cin = x.shape[-1]
     if use_pallas and stride == 1 and cin >= 16 and (on_tpu or interpret):
         return _fused_with_grad(x, w, b, stride, interpret)
+    if fast_backward:
+        return conv_relu_pool_fastgrad(x, w, b, stride)
     return conv_relu_pool_reference(x, w, b, stride)

@@ -180,3 +180,89 @@ def test_relu_maxpool_kernel_matches_reference(rng):
     out = relu_maxpool_pallas(x, b, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("stride,h,w_", [(1, 13, 15), (2, 14, 14),
+                                         (1, 21, 21)])
+def test_fastgrad_conv_block_bit_identical_gradients(stride, h, w_, rng):
+    """conv_relu_pool_fastgrad (the measured-default training backward)
+    must be BIT-identical to plain autodiff of the reference impl — same
+    select_and_scatter tie semantics, pooled-side relu gate exactness."""
+    from dl_vqa_tpu.ops.conv_fused import conv_relu_pool_fastgrad
+
+    x = jnp.asarray(rng.standard_normal((3, h, w_, 5)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 5, 8)) * 0.3,
+                    dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8) * 0.1, dtype=jnp.float32)
+    out_ref = conv_relu_pool_reference(x, w, b, stride)
+    cot = jnp.asarray(rng.standard_normal(out_ref.shape), dtype=jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(conv_relu_pool_fastgrad(x, w, b, stride)),
+        np.asarray(out_ref),
+    )
+
+    def loss_fast(x, w, b):
+        return (conv_relu_pool_fastgrad(x, w, b, stride) * cot).sum()
+
+    def loss_ref(x, w, b):
+        return (conv_relu_pool_reference(x, w, b, stride) * cot).sum()
+
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(x, w, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    # dx/dw go through the same conv transposes on the same cotangent:
+    # bit-identical. db sums the same values in a different order (pooled
+    # side vs full-size), so it matches to float rounding only.
+    for a, e, name in zip(g_fast[:2], g_ref[:2], "x w".split()):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(e), err_msg=f"d{name} differs"
+        )
+    np.testing.assert_allclose(
+        np.asarray(g_fast[2]), np.asarray(g_ref[2]), rtol=1e-5, atol=1e-6,
+        err_msg="db differs beyond reduction-order rounding",
+    )
+
+
+def test_fastgrad_handles_dead_relu_windows(rng):
+    """Pool windows whose max is exactly 0 (fully dead relu) must get zero
+    gradient — the pooled-side gate's correctness hinges on this case."""
+    from dl_vqa_tpu.ops.conv_fused import conv_relu_pool_fastgrad
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 10, 4)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 6)) * 0.2,
+                    dtype=jnp.float32)
+    b = jnp.full((6,), -100.0)  # every relu output is 0 -> no gradient
+
+    def loss(x, w, b):
+        return conv_relu_pool_fastgrad(x, w, b, 1).sum()
+
+    gx, gw, gb = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    assert float(jnp.abs(gx).max()) == 0.0
+    assert float(jnp.abs(gw).max()) == 0.0
+    assert float(jnp.abs(gb).max()) == 0.0
+
+
+def test_dropout_u8_statistics_and_determinism(rng):
+    """The u8-mask dropout must keep ~quantized-keep fraction, preserve the
+    mean exactly in expectation (scale uses the same quantized keep), and
+    be deterministic given the rng key."""
+    from dl_vqa_tpu.models.vqa import _dropout
+
+    x = jnp.ones((2048, 512))
+    key = jax.random.PRNGKey(3)
+    y1 = _dropout(x, 0.3, True, key)
+    y2 = _dropout(x, 0.3, True, key)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    keep_frac = float((np.asarray(y1) != 0).mean())
+    assert abs(keep_frac - 179 / 256) < 0.01       # quantized keep of 0.7
+    assert abs(float(y1.mean()) - 1.0) < 0.01      # inverted scaling exact
+    kept = np.asarray(y1)[np.asarray(y1) != 0]
+    np.testing.assert_allclose(kept, 256 / 179, rtol=1e-6)
+
+    # Degenerate rates: no-op and all-drop.
+    np.testing.assert_array_equal(np.asarray(_dropout(x, 0.0, True, key)),
+                                  np.asarray(x))
+    assert float(jnp.abs(_dropout(x, 1.0, True, key)).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(_dropout(x, 0.5, False, key)),
+                                  np.asarray(x))
