@@ -181,6 +181,7 @@ def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
         return apply_vit_image(
             params["image"], images, cfg.image.patch_size,
             cfg.image.num_heads, cfg.image.dropout, train, rng, dtype,
+            use_pallas=cfg.use_pallas,
         )
 
     from dl_vqa_tpu.ops.conv_fused import conv_relu_pool

@@ -266,3 +266,48 @@ def test_dropout_u8_statistics_and_determinism(rng):
     assert float(jnp.abs(_dropout(x, 1.0, True, key)).max()) == 0.0
     np.testing.assert_array_equal(np.asarray(_dropout(x, 0.5, False, key)),
                                   np.asarray(x))
+
+
+@pytest.mark.parametrize("b,s,h,d", [(4, 196, 4, 64), (2, 50, 2, 64)])
+def test_vit_attention_qkv_kernel_matches_reference(b, s, h, d, rng):
+    """Packed-qkv flash attention (the ViT eval path on TPU) must match
+    the XLA reference in both values and gradients."""
+    from dl_vqa_tpu.ops.vit_attention_pallas import (
+        vit_attention_qkv_pallas,
+        vit_attention_qkv_reference,
+    )
+
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d)),
+                      dtype=jnp.float32)
+    ref = vit_attention_qkv_reference(qkv, h)
+    out = vit_attention_qkv_pallas(qkv, h, True)
+    assert out.shape == (b, s, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    g_k = jax.grad(
+        lambda t: jnp.sum(vit_attention_qkv_pallas(t, h, True) ** 2)
+    )(qkv)
+    g_r = jax.grad(
+        lambda t: jnp.sum(vit_attention_qkv_reference(t, h) ** 2)
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_vit_attention_kernel_head_packing_is_not_mixed(rng):
+    """Each head must attend independently: zeroing one head's qkv lanes
+    must not change the other heads' outputs."""
+    from dl_vqa_tpu.ops.vit_attention_pallas import vit_attention_qkv_pallas
+
+    b, s, h, d = 2, 52, 2, 64
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d)),
+                      dtype=jnp.float32)
+    out_full = np.asarray(vit_attention_qkv_pallas(qkv, h, True))
+    dim = h * d
+    killed = qkv
+    for base in (0, dim, 2 * dim):  # zero head 0's q, k, v lanes
+        killed = killed.at[:, :, base : base + d].set(0.0)
+    out_killed = np.asarray(vit_attention_qkv_pallas(killed, h, True))
+    np.testing.assert_array_equal(out_full[:, :, d:], out_killed[:, :, d:])
+    assert not np.allclose(out_full[:, :, :d], out_killed[:, :, :d])
