@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dl_vqa_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 BASELINE_QA_PER_SEC = 10_000.0
 BATCH_SIZE = 512
 POOL = 4          # distinct staged batches, cycled

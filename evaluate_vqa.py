@@ -12,6 +12,10 @@ from __future__ import annotations
 import os
 import sys
 
+from dl_vqa_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 
 def evaluate_hw2(overrides=()) -> float:
     import jax

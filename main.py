@@ -16,6 +16,10 @@ import sys
 
 import jax
 
+from dl_vqa_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 
 def main(cfg: dict) -> float:
     import jax.numpy as jnp

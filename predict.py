@@ -20,6 +20,10 @@ import os
 import sys
 from typing import List, Optional, Sequence, Tuple
 
+from dl_vqa_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 
 class Predictor:
     """Batched VQA inference on a trained checkpoint."""
