@@ -112,6 +112,7 @@ CFG_SCHEMA: Dict[str, Any] = {
             "model": int,
         },
         "remat": bool,
+        "checkpoint_backend": str,   # 'npz' (single file) | 'orbax' (async dir)
         "prefetch_depth": int,
         "use_pallas": bool,
         "debug_nans": bool,

@@ -250,8 +250,13 @@ def train(
             from dl_vqa_tpu.utils import checkpoint as ckpt
             import os
 
+            last_name = (
+                "last.ckpt"
+                if getattr(logger, "checkpoint_backend", "npz") == "npz"
+                else "last.ckpt.orbax"
+            )
             ckpt.save_checkpoint_async(
-                os.path.join(logger.exp_dir, "last.ckpt"), state,
+                os.path.join(logger.exp_dir, last_name), state,
                 epoch=epoch, model_cfg=model_cfg, extra_meta=ckpt_meta,
             )
 

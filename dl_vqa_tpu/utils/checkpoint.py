@@ -11,6 +11,12 @@ plus interop:
   ``evaluate_vqa.py:73-75``);
 * full ``TrainState`` (params + Adam moments + step) round-trips for
   step-accurate resume.
+
+Backend dispatch: any path ending in ``.orbax`` (or an existing Orbax
+checkpoint directory) routes through
+:mod:`dl_vqa_tpu.utils.orbax_backend` — async, atomic, sharding-aware
+restores for multi-host scale. Select it per run with
+``tpu.checkpoint_backend=orbax``; npz stays the default.
 """
 
 from __future__ import annotations
@@ -54,6 +60,12 @@ def save_checkpoint(path: str, state, epoch: Optional[int] = None,
     ``extra_meta`` merges additional JSON-serializable entries into the
     checkpoint metadata (e.g. the dataset's ``max_question_length`` so the
     predictor can encode questions at the trained length)."""
+    from dl_vqa_tpu.utils import orbax_backend
+
+    if orbax_backend.is_orbax_path(path):
+        orbax_backend.save(path, state, epoch=epoch, model_cfg=model_cfg,
+                           extra_meta=extra_meta, block=True)
+        return
     payload = _flatten(state)
     meta = {"epoch": epoch}
     if model_cfg is not None:
@@ -89,6 +101,14 @@ def save_checkpoint_async(path: str, state, epoch: Optional[int] = None,
     global _async_executor, _pending_save
     import concurrent.futures
 
+    from dl_vqa_tpu.utils import orbax_backend
+
+    if orbax_backend.is_orbax_path(path):
+        # Orbax owns the snapshot + background write pipeline (and makes
+        # the rolling overwrite atomic via its temp-dir + rename protocol).
+        orbax_backend.save(path, state, epoch=epoch, model_cfg=model_cfg,
+                           extra_meta=extra_meta, block=False)
+        return
     if _async_executor is None:
         _async_executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt"
@@ -108,10 +128,17 @@ def wait_for_async_saves() -> None:
     if _pending_save is not None:
         _pending_save.result()
         _pending_save = None
+    from dl_vqa_tpu.utils import orbax_backend
+
+    orbax_backend.wait()
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
-    """Load the flat array dict + meta from an npz checkpoint."""
+    """Load the flat array dict + meta from an npz (or Orbax) checkpoint."""
+    from dl_vqa_tpu.utils import orbax_backend
+
+    if orbax_backend.is_orbax_path(path):
+        return orbax_backend.load_flat(path, sep=_SEP)
     with np.load(path, allow_pickle=False) as data:
         flat = {k: data[k] for k in data.files if k != "__meta__"}
         meta = (
@@ -141,7 +168,13 @@ def _unflatten_into(template: Any, flat: Dict[str, np.ndarray]) -> Any:
 
 def restore_state(template_state, path: str):
     """Restore a full TrainState into the structure of ``template_state``.
-    Returns (state, epoch)."""
+    Returns (state, epoch). Orbax checkpoints restore sharding-aware:
+    sharded template leaves come back placed shard-by-shard on device."""
+    from dl_vqa_tpu.utils import orbax_backend
+
+    if orbax_backend.is_orbax_path(path):
+        state, meta = orbax_backend.restore(path, template=template_state)
+        return state, meta.get("epoch")
     flat, meta = load_checkpoint(path)
     return _unflatten_into(template_state, flat), meta.get("epoch")
 

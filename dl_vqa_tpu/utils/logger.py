@@ -30,7 +30,14 @@ class _NoOpWriter:
 
 
 class TrainLogger:
-    def __init__(self, exp_name_prefix: str = "", logs_dir: str = "logs"):
+    def __init__(self, exp_name_prefix: str = "", logs_dir: str = "logs",
+                 checkpoint_backend: str = "npz"):
+        if checkpoint_backend not in ("npz", "orbax"):
+            raise ValueError(
+                f"checkpoint_backend must be 'npz' or 'orbax', got "
+                f"{checkpoint_backend!r}"
+            )
+        self.checkpoint_backend = checkpoint_backend
         os.makedirs(logs_dir, exist_ok=True)
         now = datetime.now()
         stamp = f"{now.month}_{now.day}_{now.hour}_{now.minute}_{now.second}"
@@ -139,7 +146,11 @@ class TrainLogger:
         (best-eval-gated by the train loop, like ref train.py:129-133)."""
         from dl_vqa_tpu.utils import checkpoint as ckpt
 
-        path = os.path.join(self.exp_dir, "model.ckpt")
+        name = (
+            "model.ckpt" if self.checkpoint_backend == "npz"
+            else "model.ckpt.orbax"
+        )
+        path = os.path.join(self.exp_dir, name)
         self.write(f"Saving model to {path}")
         ckpt.save_checkpoint(path, state, epoch=epoch, model_cfg=model_cfg,
                              extra_meta=extra_meta)

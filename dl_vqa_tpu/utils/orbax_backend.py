@@ -1,0 +1,151 @@
+"""Orbax checkpoint backend (directory-based, async, sharding-aware).
+
+The npz backend in :mod:`dl_vqa_tpu.utils.checkpoint` is the default —
+single-file, host-portable, zero extra deps. This module provides the
+industry-standard TPU alternative on top of ``orbax.checkpoint`` for
+large-scale / multi-host deployments, where its advantages are real:
+
+* **async device-to-host + write pipeline**: ``save`` returns as soon as
+  the device arrays are snapshotted; serialization and the filesystem
+  write happen on Orbax's background threads (vs our single snapshot
+  thread for npz).
+* **sharded restore**: restoring against a template of sharded
+  ``jax.Array`` leaves places each shard directly on its device — no
+  host-side gather / scatter round trip, which is the difference between
+  seconds and minutes at multi-host scale.
+* **atomicity**: Orbax writes to a temp dir and renames, so a preempted
+  save can never corrupt the rolling crash-recovery checkpoint.
+
+Selected via the ``tpu.checkpoint_backend: orbax`` config key (or any
+checkpoint path ending in ``.orbax``). Replaces the same reference
+surface as the npz backend (``/root/reference/utils/train_logger.py:
+95-112`` — ``torch.save({'epoch', 'model_state', 'optimizer_state'})``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+__all__ = [
+    "SUFFIX", "is_orbax_path", "save", "restore", "load_flat", "wait",
+]
+
+SUFFIX = ".orbax"
+
+_checkpointer = None  # lazy singleton AsyncCheckpointer
+
+
+def _ckptr():
+    global _checkpointer
+    if _checkpointer is None:
+        import orbax.checkpoint as ocp
+
+        _checkpointer = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
+    return _checkpointer
+
+
+def is_orbax_path(path: str) -> bool:
+    """True if ``path`` names an Orbax checkpoint (by suffix convention,
+    or an existing directory with Orbax's on-disk layout)."""
+    if str(path).endswith(SUFFIX):
+        return True
+    return os.path.isdir(path) and (
+        os.path.isdir(os.path.join(path, "state"))
+        or os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+    )
+
+
+def _build_meta(epoch, model_cfg, extra_meta) -> Dict[str, Any]:
+    meta: Dict[str, Any] = {"epoch": epoch}
+    if model_cfg is not None:
+        import dataclasses
+
+        meta["model_cfg"] = dataclasses.asdict(model_cfg)
+    if extra_meta:
+        meta.update(extra_meta)
+    return meta
+
+
+def save(path: str, state, epoch: Optional[int] = None, model_cfg=None,
+         extra_meta: Optional[Dict] = None, block: bool = True) -> None:
+    """Save ``state`` (TrainState or bare params pytree) + JSON metadata.
+
+    ``block=False`` returns once device arrays are snapshotted to host;
+    the write continues on Orbax's background threads (join with
+    :func:`wait`). Overwrites an existing checkpoint atomically.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = _ckptr()
+    ckptr.wait_until_finished()  # one save in flight, like the npz path
+    ckptr.save(
+        os.path.abspath(path),
+        args=ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            meta=ocp.args.JsonSave(_build_meta(epoch, model_cfg, extra_meta)),
+        ),
+        force=True,
+    )
+    if block:
+        ckptr.wait_until_finished()
+
+
+def wait() -> None:
+    """Join any in-flight async Orbax save."""
+    if _checkpointer is not None:
+        _checkpointer.wait_until_finished()
+
+
+def _abstract_like(leaf):
+    """Template leaf -> ShapeDtypeStruct, preserving device sharding so
+    Orbax restores each shard in place (no host gather)."""
+    import jax
+    import numpy as np
+
+    sharding = getattr(leaf, "sharding", None)
+    return jax.ShapeDtypeStruct(
+        np.shape(leaf), getattr(leaf, "dtype", np.asarray(leaf).dtype),
+        sharding=sharding,
+    )
+
+
+def restore(path: str, template=None) -> Tuple[Any, Dict]:
+    """Restore ``(state, meta)``. With ``template`` (a pytree of concrete
+    arrays — possibly sharded over a mesh), the result matches its
+    structure, dtypes, and shardings; without, returns Orbax's raw nested
+    dict of host numpy arrays."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = _ckptr()
+    ckptr.wait_until_finished()
+    restore_arg = (
+        ocp.args.StandardRestore(
+            jax.tree_util.tree_map(_abstract_like, template)
+        )
+        if template is not None
+        else ocp.args.StandardRestore()
+    )
+    out = ckptr.restore(
+        os.path.abspath(path),
+        args=ocp.args.Composite(state=restore_arg,
+                                meta=ocp.args.JsonRestore()),
+    )
+    return out["state"], dict(out["meta"] or {})
+
+
+def load_flat(path: str, sep: str = "|") -> Tuple[Dict, Dict]:
+    """Restore as the npz backend's flat ``{joined|path: ndarray}`` dict
+    (+ meta), so :func:`dl_vqa_tpu.utils.checkpoint.load_params` treats
+    both formats identically."""
+    import jax
+    import numpy as np
+
+    state, meta = restore(path)
+    flat = {}
+    for kpath, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
+        from dl_vqa_tpu.utils.checkpoint import _path_str
+
+        flat[sep.join(_path_str(p) for p in kpath)] = np.asarray(leaf)
+    return flat, meta

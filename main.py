@@ -42,6 +42,7 @@ def main(cfg: dict) -> float:
     logger = TrainLogger(
         exp_name_prefix=cfg["main"]["experiment_name_prefix"],
         logs_dir=profile["paths"]["logs"],
+        checkpoint_backend=cfg["tpu"].get("checkpoint_backend", "npz"),
     )
     logger.write(f"Devices: {jax.devices()}")
     logger.write(config_mod.to_yaml(cfg))
