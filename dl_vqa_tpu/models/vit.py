@@ -115,6 +115,47 @@ def _attention(x, layer, num_heads, dtype, use_pallas=False):
     )
 
 
+def _patch_embed_conv(x, embed: Dict, patch_size: int, dtype) -> jnp.ndarray:
+    """Stride-P conv patch embed (measured default on v5e): XLA's conv
+    emitter gathers the patches implicitly (im2col inside the MXU
+    pipeline), skipping the explicit [B, gh, P, gw, P, 3] transpose that
+    costs two relayout copies of the image tensor (~1.2 ms of the 12.1 ms
+    ViT eval step at batch 512; see docs/PERF_NOTES.md). The kernel is
+    the SAME patch_embed weight viewed as [P, P, 3, D] — a row-major
+    match with the matmul path's flattened (p_row, p_col, chan) ordering,
+    so the two paths are numerically interchangeable."""
+    batch, h, w, _ = x.shape
+    gh, gw = h // patch_size, w // patch_size
+    kernel = embed["w"].astype(dtype).reshape(patch_size, patch_size, 3, -1)
+    # No preferred_element_type: the conv VJP rejects mixed-dtype
+    # operand/cotangent pairs, and the MXU accumulates in f32 internally
+    # regardless; the f32 bias add below restores the matmul path's
+    # output dtype.
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(patch_size, patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out.reshape(batch, gh * gw, -1) + embed["b"]
+
+
+def _patch_embed_matmul(x, embed: Dict, patch_size: int, dtype) -> jnp.ndarray:
+    """Explicit patchify + matmul: [B, gh, P, gw, P, 3] -> [B, gh*gw,
+    P*P*3] @ [P*P*3, D]. Reference path for CPU and equivalence tests."""
+    batch, h, w, _ = x.shape
+    gh, gw = h // patch_size, w // patch_size
+    x = x.reshape(batch, gh, patch_size, gw, patch_size, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        batch, gh * gw, patch_size * patch_size * 3
+    )
+    return (
+        jnp.dot(x, embed["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+        + embed["b"]
+    )
+
+
 def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                     num_heads: int, dropout: float, train: bool, rng,
                     dtype=jnp.float32, use_pallas: bool = False) -> jnp.ndarray:
@@ -123,17 +164,11 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
 
     batch, h, w, _ = images.shape
     gh, gw = h // patch_size, w // patch_size
-    # Patchify: [B, gh, P, gw, P, 3] -> [B, gh*gw, P*P*3].
     x = images[:, : gh * patch_size, : gw * patch_size, :].astype(dtype)
-    x = x.reshape(batch, gh, patch_size, gw, patch_size, 3)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
-        batch, gh * gw, patch_size * patch_size * 3
-    )
-    x = (
-        jnp.dot(x, params["patch_embed"]["w"].astype(dtype),
-                preferred_element_type=jnp.float32)
-        + params["patch_embed"]["b"]
-    )
+    if jax.default_backend() == "tpu":
+        x = _patch_embed_conv(x, params["patch_embed"], patch_size, dtype)
+    else:
+        x = _patch_embed_matmul(x, params["patch_embed"], patch_size, dtype)
     if gh * gw > params["pos"].shape[0]:
         raise ValueError(
             f"Patch grid {gh}x{gw} ({gh * gw} tokens) exceeds the "

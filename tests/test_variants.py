@@ -239,3 +239,32 @@ def test_vit_positional_table_overflow_is_actionable():
     big = jnp.zeros((4, 64, 64, 3))  # 8x8 grid > 16-entry table
     with pytest.raises(ValueError, match="positional table"):
         vqa.apply(params, cfg, big, questions, lengths)
+
+
+def test_patch_embed_conv_matches_matmul():
+    """The stride-P conv patch embed (TPU default) must be numerically
+    interchangeable with the explicit patchify+matmul path, in both the
+    forward and the gradient w.r.t. the shared patch_embed weight."""
+    from dl_vqa_tpu.models.vit import (
+        _patch_embed_conv,
+        _patch_embed_matmul,
+        init_vit_image,
+    )
+
+    params = init_vit_image(jax.random.PRNGKey(0), image_size=32,
+                            patch_size=8, model_dim=16, num_layers=1)
+    embed = params["patch_embed"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
+
+    a = _patch_embed_conv(x, embed, 8, jnp.float32)
+    b = _patch_embed_matmul(x, embed, 8, jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn, w):
+        return jnp.sum(fn(x, {"w": w, "b": embed["b"]}, 8, jnp.float32) ** 2)
+
+    ga = jax.grad(lambda w: loss(_patch_embed_conv, w))(embed["w"])
+    gb = jax.grad(lambda w: loss(_patch_embed_matmul, w))(embed["w"])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-4)
