@@ -311,3 +311,49 @@ def test_vit_attention_kernel_head_packing_is_not_mixed(rng):
     out_killed = np.asarray(vit_attention_qkv_pallas(killed, h, True))
     np.testing.assert_array_equal(out_full[:, :, d:], out_killed[:, :, d:])
     assert not np.allclose(out_full[:, :, :d], out_killed[:, :, :d])
+
+
+def test_lstm_pallas_save_mode_consistent(rng):
+    """The AD forward (save_states=True) must emit the same finals as the
+    eval kernel, and gradients must match XLA at an odd batch size where
+    the batch tile falls back to the whole batch."""
+    from dl_vqa_tpu.ops.lstm_pallas import _lstm_scan_pallas_impl
+
+    batch, seq, emb, hid = 12, 5, 8, 16
+    x = jnp.asarray(rng.standard_normal((batch, seq, emb)), dtype=jnp.float32)
+    lengths = jnp.asarray(rng.integers(1, seq + 1, batch), dtype=jnp.int32)
+    params = {
+        "w_ih": jnp.asarray(rng.standard_normal((emb, 4 * hid)) * 0.1,
+                            dtype=jnp.float32),
+        "w_hh": jnp.asarray(rng.standard_normal((hid, 4 * hid)) * 0.1,
+                            dtype=jnp.float32),
+        "b": jnp.asarray(rng.standard_normal(4 * hid) * 0.1,
+                         dtype=jnp.float32),
+    }
+    h0, c0 = _lstm_scan_pallas_impl(x, lengths, params, True)
+    (h1, c1), (gates_all, c_all, h_all) = _lstm_scan_pallas_impl(
+        x, lengths, params, True, save_states=True
+    )
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=1e-6)
+    assert gates_all.shape == (seq, batch, 4 * hid)
+    # The final saved carry equals the emitted final state.
+    np.testing.assert_allclose(np.asarray(c_all[-1]), np.asarray(c1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_all[-1]), np.asarray(h1),
+                               rtol=1e-6)
+
+    def loss_p(x, p):
+        h, c = lstm_scan_pallas(x, lengths, p, True)
+        return jnp.sum(jnp.tanh(c)) + jnp.sum(h ** 2)
+
+    def loss_r(x, p):
+        h, c = lstm_scan(x, lengths, p)
+        return jnp.sum(jnp.tanh(c)) + jnp.sum(h ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(x, params)
+    gr = jax.grad(loss_r, argnums=(0, 1))(x, params)
+    for a, e in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-5)
