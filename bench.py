@@ -34,19 +34,25 @@ POOL = 4          # distinct staged batches, cycled
 ITERS = 50        # eval steps per timed run
 
 
-def build(vit: bool = False):
+def build(vit: bool = False, f8_stem: bool = False):
+    import dataclasses
+
     from dl_vqa_tpu.models import ModelConfig, vqa
 
     cfg = ModelConfig(num_tokens=15_193)  # full reference-scale defaults
     if vit:
-        import dataclasses
-
         cfg = dataclasses.replace(
             cfg,
             image=dataclasses.replace(
                 cfg.image, encoder="vit", patch_size=16, num_layers=4,
                 num_heads=4, num_channels=(3, 256),
             ),
+        )
+    if f8_stem:
+        # Opt-in inference mode (`--f8-stem`): 8-bit activation storage
+        # between each cnn conv and its pool (train.image.store_dtype).
+        cfg = dataclasses.replace(
+            cfg, image=dataclasses.replace(cfg.image, store_dtype="f8e4m3")
         )
     params = vqa.init(jax.random.PRNGKey(0), cfg)
     return cfg, params
@@ -117,7 +123,7 @@ def make_bench_fn(cfg, pool):
 TRAIN_ITERS = 20  # train steps per timed on-device loop
 
 
-def bench_train(vit: bool = False) -> None:
+def bench_train(vit: bool = False, f8_stem: bool = False) -> None:
     """Optional train-throughput mode (`python bench.py --train [--vit]`):
     TRAIN_ITERS fused fwd+bwd+Adam steps at batch 512 run as ONE jitted
     ``lax.fori_loop`` threading the train state (so dispatch RTT is
@@ -128,7 +134,7 @@ def bench_train(vit: bool = False) -> None:
     from dl_vqa_tpu.train.steps import make_optimizer, make_train_step
 
     jax.config.update("jax_default_prng_impl", "rbg")  # main.py's default
-    cfg, params = build(vit=vit)
+    cfg, params = build(vit=vit, f8_stem=f8_stem)
     tx = make_optimizer(5e-4)
     state = create_train_state(params, tx)
     raw_step = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16, jit=False)
@@ -185,11 +191,12 @@ def bench_train(vit: bool = False) -> None:
     )
 
 
-def bench_latency(batch_size: int = 8, vit: bool = False) -> None:
+def bench_latency(batch_size: int = 8, vit: bool = False,
+                  f8_stem: bool = False) -> None:
     """Optional serving-latency mode (`python bench.py --latency [--vit]`):
     per-query device latency at a small batch, measured with the
     on-device loop (amortizing dispatch RTT like a pipelined server)."""
-    cfg, params = build(vit=vit)
+    cfg, params = build(vit=vit, f8_stem=f8_stem)
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
     run, staged = make_bench_fn(cfg, pool)
     staged = jax.device_put(staged)
@@ -215,8 +222,8 @@ def bench_latency(batch_size: int = 8, vit: bool = False) -> None:
     )
 
 
-def main(vit: bool = False) -> None:
-    cfg, params = build(vit=vit)
+def main(vit: bool = False, f8_stem: bool = False) -> None:
+    cfg, params = build(vit=vit, f8_stem=f8_stem)
     n_chips = jax.device_count()
     batch_size = BATCH_SIZE * n_chips  # scale work with the mesh
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
@@ -268,9 +275,10 @@ if __name__ == "__main__":
     import sys
 
     vit = "--vit" in sys.argv
+    f8_stem = "--f8-stem" in sys.argv
     if "--train" in sys.argv:
-        bench_train(vit=vit)
+        bench_train(vit=vit, f8_stem=f8_stem)
     elif "--latency" in sys.argv:
-        bench_latency(vit=vit)
+        bench_latency(vit=vit, f8_stem=f8_stem)
     else:
-        main(vit=vit)
+        main(vit=vit, f8_stem=f8_stem)

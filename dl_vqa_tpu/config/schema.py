@@ -76,6 +76,8 @@ CFG_SCHEMA: Dict[str, Any] = {
             "patch_size": int,           # vit only
             "num_layers": int,           # vit only
             "num_heads": int,            # vit only
+            # 'compute' | 'f8e4m3' (8-bit activation storage, cnn only)
+            "store_dtype": str,
         },
         "attention": {
             # 'single' (reference parity), 'stacked' (SAN), 'co' (co-attention)

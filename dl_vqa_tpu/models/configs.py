@@ -43,6 +43,10 @@ class ImageConfig:
     patch_size: int = 16               # vit only
     num_layers: int = 4                # vit only
     num_heads: int = 4                 # vit only
+    # 'compute' (parity) | 'f8e4m3': store cnn conv outputs in 8-bit float
+    # between conv and pool — inference-serving throughput mode (changes
+    # numerics; see ops/conv_fused.conv_relu_pool_quantstore).
+    store_dtype: str = "compute"
 
     @property
     def output_channels(self) -> int:
@@ -115,6 +119,7 @@ class ModelConfig:
                 patch_size=i.get("patch_size", 16),
                 num_layers=i.get("num_layers", 4),
                 num_heads=i.get("num_heads", 4),
+                store_dtype=i.get("store_dtype", "compute"),
             ),
             attention=AttentionConfig(
                 variant=a.get("variant", "single"),

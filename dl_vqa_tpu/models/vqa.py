@@ -186,11 +186,22 @@ def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
 
     from dl_vqa_tpu.ops.conv_fused import conv_relu_pool
 
+    if cfg.image.store_dtype == "compute":
+        store_dtype = None
+    elif cfg.image.store_dtype == "f8e4m3":
+        store_dtype = jnp.float8_e4m3fn
+    else:
+        raise ValueError(
+            f"image.store_dtype={cfg.image.store_dtype!r}; expected "
+            "'compute' or 'f8e4m3'"
+        )
+
     x = images.astype(dtype)
     for block in range(len(cfg.image.num_channels) - 1):
         p = params["image"][f"conv{block}"]
         x = conv_relu_pool(
-            x, p["w"].astype(dtype), p["b"], stride=cfg.image.stride
+            x, p["w"].astype(dtype), p["b"], stride=cfg.image.stride,
+            store_dtype=store_dtype,
         )
     return _dropout(x, cfg.image.dropout, train, _site_rng(rng, 0))
 

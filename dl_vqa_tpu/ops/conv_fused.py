@@ -117,6 +117,73 @@ def conv_relu_pool_reference(
     return _maxpool2_forward(out)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv_relu_pool_quantstore(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    stride: int = 1,
+    store_dtype=jnp.float8_e4m3fn,
+) -> jnp.ndarray:
+    """conv+bias+relu+pool with the conv output STORED in a narrow dtype.
+
+    The block's cost on TPU is the HBM round trip of the conv output
+    (3.2 GB for conv0 at batch 512) between the conv epilogue and the
+    pool read. Casting the relu output to ``store_dtype`` before the pool
+    halves that traffic: XLA fuses the convert into the conv epilogue and
+    runs ``reduce_window`` over the narrow type (max commutes with the
+    monotone cast), and the result is cast back to ``x.dtype``.
+
+    Measured on v5e (batch 512): conv0 9.04 -> 7.70 ms with f8e4m3
+    (int8 requant LOSES, 9.94 ms — the round/clip epilogue doesn't pay);
+    full parity-scale model with the cast on all three blocks: 17,276 ->
+    20,736 QA pairs/s/chip (+20%, ``python bench.py --f8-stem``). See
+    experiments/probe_stem_quant.py and docs/PERF_NOTES.md.
+
+    Numerics: activations are quantized to 4-bit-mantissa f8 (~3-6%
+    relative error per element), so this is an opt-in inference-serving
+    mode (``train.image.store_dtype``), NOT eligible for reference-parity
+    runs. The backward is a straight-through estimator: gradients are
+    computed through the exact-dtype reference block (XLA has no AD rule
+    for f8 ``reduce_window`` inside a fused train step, and the STE is
+    the standard treatment for a quantized forward anyway).
+    """
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jax.nn.relu(out.astype(jnp.float32) + b).astype(store_dtype)
+    # NB: f8e4m3fn is a finite-only format (no inf; -inf casts to NaN),
+    # so the pool's init value is the dtype's finite minimum.
+    pooled = jax.lax.reduce_window(
+        y, jnp.asarray(jnp.finfo(store_dtype).min, store_dtype), jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+    return pooled.astype(x.dtype)
+
+
+def _quantstore_fwd(x, w, b, stride, store_dtype):
+    return conv_relu_pool_quantstore(x, w, b, stride, store_dtype), (x, w, b)
+
+
+def _quantstore_bwd(stride, store_dtype, residuals, g):
+    # Straight-through: exact gradients of the UNQUANTIZED block (the
+    # fastgrad-structured backward, same values as plain autodiff).
+    x, w, b = residuals
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_: conv_relu_pool_fastgrad(x_, w_, b_, stride),
+        x, w, b,
+    )
+    return vjp(g)
+
+
+conv_relu_pool_quantstore.defvjp(_quantstore_fwd, _quantstore_bwd)
+
+
 # ------------------------------------------------------------- pallas
 
 def _pick_tr(hp: int, wc_pad: int, cin: int, cout: int) -> int:
@@ -538,8 +605,15 @@ def conv_relu_pool(
     use_pallas: bool = False,
     interpret: bool = False,
     fast_backward: bool = True,
+    store_dtype=None,
 ) -> jnp.ndarray:
     """Fused conv+relu+pool block.
+
+    ``store_dtype`` (a narrow jnp dtype, e.g. ``jnp.float8_e4m3fn``)
+    stores the conv output in 8 bits between conv and pool — an opt-in
+    inference-serving mode that changes numerics; see
+    :func:`conv_relu_pool_quantstore`. It takes precedence over the
+    other paths.
 
     ``use_pallas=False`` is the measured default: on v5e the XLA conv
     emitter (with its implicit patch streaming) beats this kernel — the
@@ -558,6 +632,8 @@ def conv_relu_pool(
     values (select_and_scatter tie semantics included) are identical
     either way.
     """
+    if store_dtype is not None:
+        return conv_relu_pool_quantstore(x, w, b, stride, store_dtype)
     on_tpu = jax.default_backend() == "tpu"
     cin = x.shape[-1]
     if use_pallas and stride == 1 and cin >= 16 and (on_tpu or interpret):

@@ -357,3 +357,112 @@ def test_lstm_pallas_save_mode_consistent(rng):
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------- f8 activation storage
+
+def test_quantstore_close_to_reference(rng):
+    """The f8e4m3 storage path (opt-in inference mode) tracks the exact
+    path within f8 quantization error: ~2^-3 relative (3 mantissa bits)
+    on each pooled activation."""
+    from dl_vqa_tpu.ops.conv_fused import conv_relu_pool_quantstore
+
+    x = jnp.asarray(rng.standard_normal((2, 20, 20, 3)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 8)) * 0.1,
+                    dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8) * 0.1, dtype=jnp.float32)
+    ref = np.asarray(conv_relu_pool_reference(x, w, b, 1))
+    out = np.asarray(conv_relu_pool_quantstore(x, w, b, 1))
+    np.testing.assert_allclose(out, ref, rtol=0.0625, atol=1e-3)
+
+
+def test_quantstore_exact_on_representable_values(rng):
+    """Integers up to 16 are exact in f8e4m3, so a block whose relu
+    outputs are small integers must be BIT-identical through the
+    quantized store (max commutes with the monotone cast)."""
+    from dl_vqa_tpu.ops.conv_fused import conv_relu_pool_quantstore
+
+    x = jnp.asarray(
+        rng.integers(-4, 9, (2, 8, 8, 1)).astype(np.float32)
+    )
+    w = jnp.ones((1, 1, 1, 1), dtype=jnp.float32)
+    b = jnp.zeros(1, dtype=jnp.float32)
+    ref = np.asarray(conv_relu_pool_reference(x, w, b, 1))
+    out = np.asarray(conv_relu_pool_quantstore(x, w, b, 1))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_quantstore_dispatch_and_gradients(rng):
+    """store_dtype routes the dispatch to the quantized path; gradients
+    are the straight-through estimator — EXACTLY the unquantized block's
+    gradients (XLA has no f8 reduce_window AD rule, and STE is the
+    standard treatment for a quantized forward)."""
+    from dl_vqa_tpu.ops.conv_fused import conv_relu_pool_quantstore
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 3)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4)) * 0.1,
+                    dtype=jnp.float32)
+    b = jnp.zeros(4, dtype=jnp.float32)
+    out = conv_relu_pool(x, w, b, store_dtype=jnp.float8_e4m3fn)
+    direct = conv_relu_pool_quantstore(x, w, b, 1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(direct))
+
+    cot = jnp.asarray(rng.standard_normal(out.shape), dtype=jnp.float32)
+    gq = jax.grad(
+        lambda x_, w_, b_: (
+            conv_relu_pool(x_, w_, b_, store_dtype=jnp.float8_e4m3fn) * cot
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(x, w, b)
+    gr = jax.grad(
+        lambda x_, w_, b_: (
+            conv_relu_pool_reference(x_, w_, b_, 1) * cot
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(x, w, b)
+    for a, e in zip(gq, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_model_store_dtype_config(rng):
+    """image.store_dtype='f8e4m3' runs end-to-end and stays close to the
+    parity path; an unknown value fails loudly."""
+    import dataclasses
+
+    from dl_vqa_tpu.models import vqa
+    from dl_vqa_tpu.models.configs import (
+        AttentionConfig, ClassifierConfig, ImageConfig, ModelConfig,
+        TextConfig,
+    )
+
+    cfg = ModelConfig(
+        text=TextConfig(question_features=16, embedding_features=8,
+                        dropout=0.0),
+        image=ImageConfig(num_channels=(3, 8, 16), dropout=0.0),
+        attention=AttentionConfig(hidden_dim=16, glimpses=2, dropout=0.0),
+        classifier=ClassifierConfig(hidden_dim=16, dropout=0.0),
+        max_answers=32,
+        image_size=32,
+        num_tokens=64,
+    )
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(rng.standard_normal((2, 32, 32, 3)),
+                         dtype=jnp.float32)
+    questions = jnp.asarray(rng.integers(1, 64, (2, 6)), dtype=jnp.int32)
+    lengths = jnp.asarray([6, 3], dtype=jnp.int32)
+
+    ref = vqa.apply(params, cfg, images, questions, lengths, train=False)
+    cfg_f8 = dataclasses.replace(
+        cfg, image=dataclasses.replace(cfg.image, store_dtype="f8e4m3")
+    )
+    out = vqa.apply(params, cfg_f8, images, questions, lengths, train=False)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # Logits drift but stay in the same regime (quantized activations).
+    assert float(jnp.abs(out - ref).max()) < 1.0
+
+    cfg_bad = dataclasses.replace(
+        cfg, image=dataclasses.replace(cfg.image, store_dtype="int4")
+    )
+    with pytest.raises(ValueError, match="store_dtype"):
+        vqa.apply(params, cfg_bad, images, questions, lengths, train=False)
