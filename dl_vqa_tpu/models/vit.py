@@ -156,6 +156,36 @@ def _patch_embed_matmul(x, embed: Dict, patch_size: int, dtype) -> jnp.ndarray:
     )
 
 
+def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
+                    dtype=jnp.float32, use_pallas: bool = False,
+                    dropout: float = 0.0, train: bool = False,
+                    rngs=(None, None)) -> jnp.ndarray:
+    """One pre-LN transformer block (attention + MLP with residuals).
+
+    Shared by the sequential stack in :func:`apply_vit_image` and the
+    pipeline-parallel executor (:func:`dl_vqa_tpu.parallel.pipeline.
+    pipeline_apply`) — identical math in both schedules. ``rngs`` are the
+    two residual-dropout keys (attention site, MLP site)."""
+    from dl_vqa_tpu.models.vqa import _dropout
+
+    hld = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
+    att = _attention(hld, layer, num_heads, dtype,
+                     use_pallas=use_pallas).astype(dtype)
+    x = x + _dropout(att, dropout, train, rngs[0])
+    hld = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
+    hld = jax.nn.relu(
+        jnp.dot(hld, layer["mlp_in"]["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+        + layer["mlp_in"]["b"]
+    ).astype(dtype)
+    mlp = (
+        jnp.dot(hld, layer["mlp_out"]["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+        + layer["mlp_out"]["b"]
+    ).astype(dtype)
+    return x + _dropout(mlp, dropout, train, rngs[1])
+
+
 def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                     num_heads: int, dropout: float, train: bool, rng,
                     dtype=jnp.float32, use_pallas: bool = False) -> jnp.ndarray:
@@ -180,25 +210,15 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
     x = _dropout(x, dropout, train, _site_rng(rng, 20))
 
     for idx, layer in enumerate(params["layers"]):
-        hld = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
         # Kernel dispatch is eval-only by measurement: in training the
         # kernel's recompute-backward re-adds the XLA split/transpose
         # passes and nets -9% (6,540 -> 5,980 samples/s/chip on v5e).
-        att = _attention(hld, layer, num_heads, dtype,
-                         use_pallas=use_pallas and not train).astype(dtype)
-        x = x + _dropout(att, dropout, train, _site_rng(rng, 21 + 2 * idx))
-        hld = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
-        hld = jax.nn.relu(
-            jnp.dot(hld, layer["mlp_in"]["w"].astype(dtype),
-                    preferred_element_type=jnp.float32)
-            + layer["mlp_in"]["b"]
-        ).astype(dtype)
-        mlp = (
-            jnp.dot(hld, layer["mlp_out"]["w"].astype(dtype),
-                    preferred_element_type=jnp.float32)
-            + layer["mlp_out"]["b"]
-        ).astype(dtype)
-        x = x + _dropout(mlp, dropout, train, _site_rng(rng, 22 + 2 * idx))
+        x = apply_vit_block(
+            layer, x, num_heads, dtype,
+            use_pallas=use_pallas and not train,
+            dropout=dropout, train=train,
+            rngs=(_site_rng(rng, 21 + 2 * idx), _site_rng(rng, 22 + 2 * idx)),
+        )
 
     x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])
     dim = x.shape[-1]
