@@ -203,14 +203,60 @@ def main(cfg: dict) -> float:
     return float(metrics["Metrics/BestAccuracy"])
 
 
+def multirun_main(config_name: str, args, runner=None,
+                  max_trials: int = 4) -> float:
+    """Hydra-style multirun: comma-valued overrides span the search space
+    (``train.image.stride=1,2``), single-valued ones apply to every trial;
+    bracketed values (``key=[3, 8]``) are single list values, as in
+    Hydra's choice-sweep convention. Maximizes ``main()``'s returned best
+    accuracy through the sweep driver with the reference sweeper's trial
+    budget and early-stop semantics (``config.yaml:91-132``; TPE when the
+    space exceeds the budget). Returns the best value."""
+    from sweep import parse_space, run_sweep
+
+    def _is_choice(a):
+        v = a.split("=", 1)[1].strip()
+        return "," in v and not v.startswith(("[", "{"))
+
+    space_args = [a for a in args if _is_choice(a)]
+    base = [a for a in args if a not in space_args]
+    if not space_args:
+        raise SystemExit(
+            "multirun (-m) needs at least one comma-valued override, "
+            "e.g. train.image.stride=1,2"
+        )
+    if runner is None:
+        from dl_vqa_tpu import config as config_mod
+
+        def runner(overrides):
+            return main(config_mod.compose(config_name,
+                                           overrides=list(overrides)))
+
+    _, best, _ = run_sweep(parse_space(space_args), max_trials=max_trials,
+                           base_overrides=base, runner=runner)
+    return best
+
+
 if __name__ == "__main__":
     from dl_vqa_tpu import config as config_mod
 
     # First arg without '=' selects a config preset (config_san,
     # config_transformer_co, ...); the rest are dotlist overrides.
     args = sys.argv[1:]
+    multirun = False
+    if args and args[0] in ("-m", "--multirun"):
+        # Hydra-style multirun (the reference sweeps with `python main.py
+        # -m`, config.yaml:4): comma-valued overrides span the search
+        # space, single-valued ones apply to every trial; the sweep
+        # driver (sweep.py) maximizes main()'s returned accuracy with
+        # the reference's trial budget / early-stop semantics (TPE when
+        # the space exceeds the budget).
+        multirun, args = True, args[1:]
     config_name = "config"
     if args and "=" not in args[0]:
         config_name, args = args[0], args[1:]
-    composed = config_mod.compose(config_name, overrides=args)
-    print(main(composed))
+    if multirun:
+        print(multirun_main(config_name, args))
+    else:
+        composed = config_mod.compose(config_name, overrides=args)
+        print(main(composed))

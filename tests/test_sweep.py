@@ -107,3 +107,41 @@ def test_early_stop_on_stagnation():
 def test_parse_space_yaml_values():
     space = sweep.parse_space(["train.image.stride=1,2", "x=a,b"])
     assert space == {"train.image.stride": [1, 2], "x": ["a", "b"]}
+
+
+def test_multirun_main_hydra_style():
+    """`python main.py -m key=a,b fixed=v` — the Hydra multirun surface:
+    comma values span the space, bracketed lists stay single values,
+    fixed overrides reach every trial."""
+    import main as main_mod
+
+    calls = []
+
+    def fake_runner(overrides):
+        calls.append(list(overrides))
+        stride = next(
+            int(o.split("=")[1]) for o in overrides
+            if o.startswith("train.image.stride")
+        )
+        return float(stride)
+
+    best = main_mod.multirun_main(
+        "config",
+        ["train.image.stride=1,2",
+         "train.image.num_channels=[3, 8]",   # single list value, not a sweep
+         "main.seed=7"],
+        runner=fake_runner,
+    )
+    assert best == 2.0
+    assert len(calls) == 2
+    assert all("main.seed=7" in c for c in calls)
+    assert all("train.image.num_channels=[3, 8]" in c for c in calls)
+
+
+def test_multirun_main_requires_choice():
+    import pytest
+
+    import main as main_mod
+
+    with pytest.raises(SystemExit, match="comma-valued"):
+        main_mod.multirun_main("config", ["main.seed=1"], runner=lambda o: 0.0)
