@@ -99,45 +99,53 @@ class Predictor:
 
     # ------------------------------------------------------------- images
 
+    def preprocess_image(self, img):
+        """PIL image -> normalized NHWC float32 array [H, W, 3]."""
+        from dl_vqa_tpu.data.images import preprocess_pil_image
+
+        chw = preprocess_pil_image(
+            img, self.image_size, self.central_fraction
+        )
+        return chw.transpose(1, 2, 0).astype("float32")
+
     def load_images(self, paths: Sequence[str]):
         import numpy as np
         from PIL import Image
 
-        from dl_vqa_tpu.data.images import preprocess_pil_image
-
         batch = []
         for path in paths:
             with Image.open(path) as img:
-                chw = preprocess_pil_image(
-                    img, self.image_size, self.central_fraction
-                )
-            batch.append(chw.transpose(1, 2, 0))  # NHWC
-        return np.stack(batch).astype(np.float32)
+                batch.append(self.preprocess_image(img))
+        return np.stack(batch)
 
     # ------------------------------------------------------------- predict
+
+    def forward_probs(self, images, questions, lengths):
+        """Jitted forward -> softmax probabilities [B, max_answers]."""
+        import numpy as np
+
+        logits = np.asarray(
+            self._forward(self.params, images, questions, lengths)
+        )
+        probs = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs /= probs.sum(axis=1, keepdims=True)
+        return probs
+
+    def top_k_from_probs(self, probs_row, top_k: int):
+        import numpy as np
+
+        order = np.argsort(probs_row)[::-1][:top_k]
+        return [(self.answer_by_id.get(int(i) + 1, "<unk>"),
+                 float(probs_row[i])) for i in order]
 
     def predict(self, image_paths: Sequence[str], questions: Sequence[str],
                 top_k: int = 5) -> List[List[Tuple[str, float]]]:
         """Top-k (answer, probability) per (image, question) pair."""
-        import jax
-        import numpy as np
-
         assert len(image_paths) == len(questions)
         images = self.load_images(image_paths)
         encoded, lengths = self.encode_questions(questions)
-        logits = np.asarray(
-            self._forward(self.params, images, encoded, lengths)
-        )
-        probs = np.exp(logits - logits.max(axis=1, keepdims=True))
-        probs /= probs.sum(axis=1, keepdims=True)
-        results = []
-        for row in probs:
-            order = np.argsort(row)[::-1][:top_k]
-            results.append(
-                [(self.answer_by_id.get(int(i) + 1, "<unk>"), float(row[i]))
-                 for i in order]
-            )
-        return results
+        probs = self.forward_probs(images, encoded, lengths)
+        return [self.top_k_from_probs(row, top_k) for row in probs]
 
     def predict_dataset_submission(self, dataset, batcher) -> List[dict]:
         """Official VQA submission entries [{'question_id', 'answer'}]

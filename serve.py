@@ -1,0 +1,270 @@
+"""Serving daemon: HTTP batch inference on a trained checkpoint.
+
+Production-serving surface on top of :class:`predict.Predictor` (the
+reference stops at train/eval scripts; this is the deployment story for
+the TPU rebuild):
+
+    python serve.py [overrides...] --port 8000
+
+    POST /v1/answer   {"image_b64": <base64 jpeg/png>, "question": str,
+                       "top_k": int=5}            -> {"answers": [[a, p]..]}
+    GET  /healthz     liveness (also reports the device backend)
+    GET  /metrics     JSON counters: requests, batches, batch-size mean,
+                      latency p50/p99 ms
+
+TPU-native serving design:
+
+* **Request coalescing.** Handler threads enqueue requests; one batcher
+  thread drains the queue, waits up to ``--batch-window-ms`` for
+  stragglers, and runs ONE jitted forward per batch — the same
+  fixed-cost-amortization the bench measures (dispatch RTT dominates
+  per-query time at batch 1).
+* **Bucketed static shapes.** Batches pad up to the next power of two
+  (<= ``--max-batch``), so the server compiles at most log2(max_batch)+1
+  programs, all cached after warmup (XLA recompiles on any new shape —
+  unbounded dynamic batch sizes would compile forever).
+* Host work (jpeg decode, resize, tokenize) happens on the handler
+  threads, off the batcher's critical path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import queue
+import statistics
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Sequence, Tuple
+
+from dl_vqa_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
+
+class _Pending:
+    __slots__ = ("image", "encoded", "length", "top_k", "event", "result",
+                 "error", "enqueued_at")
+
+    def __init__(self, image, encoded, length, top_k):
+        self.image = image
+        self.encoded = encoded
+        self.length = length
+        self.top_k = top_k
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+        self.enqueued_at = time.perf_counter()
+
+
+class BatchingService:
+    """Coalesces concurrent requests into bucketed jitted forwards."""
+
+    def __init__(self, predictor, max_batch: int = 64,
+                 batch_window_ms: float = 5.0):
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_ms / 1e3
+        self.queue: "queue.Queue[_Pending]" = queue.Queue()
+        self.lock = threading.Lock()
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self.latencies_ms: List[float] = []
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    # ---------------------------------------------------------- request side
+
+    def submit(self, image, question: str, top_k: int,
+               timeout_s: float = 30.0):
+        encoded, lengths = self.predictor.encode_questions([question])
+        pending = _Pending(image, encoded[0], int(lengths[0]), top_k)
+        self.queue.put(pending)
+        if not pending.event.wait(timeout_s):
+            raise TimeoutError("inference timed out")
+        if pending.error:
+            raise RuntimeError(pending.error)
+        with self.lock:
+            self.stats["requests"] += 1
+            self.latencies_ms.append(
+                (time.perf_counter() - pending.enqueued_at) * 1e3
+            )
+            del self.latencies_ms[:-1000]  # keep a bounded window
+        return pending.result
+
+    # ---------------------------------------------------------- batcher side
+
+    def _drain(self) -> List[_Pending]:
+        batch = [self.queue.get()]
+        deadline = time.perf_counter() + self.batch_window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        size = 1
+        while size < n:
+            size *= 2
+        return size
+
+    def _run(self):
+        import numpy as np
+
+        while not self._stop.is_set():
+            try:
+                batch = self._drain()
+            except Exception:  # noqa: BLE001 - queue shutdown
+                continue
+            try:
+                n = len(batch)
+                size = self._bucket(n)
+                max_len = self.predictor.max_question_length
+                images = np.zeros(
+                    (size,) + batch[0].image.shape, dtype=np.float32
+                )
+                questions = np.zeros((size, max_len), dtype=np.int32)
+                lengths = np.ones(size, dtype=np.int32)
+                for i, p in enumerate(batch):
+                    images[i] = p.image
+                    questions[i] = p.encoded
+                    lengths[i] = p.length
+                probs = self.predictor.forward_probs(
+                    images, questions, lengths
+                )
+                for i, p in enumerate(batch):
+                    p.result = self.predictor.top_k_from_probs(
+                        probs[i], p.top_k
+                    )
+                    p.event.set()
+                with self.lock:
+                    self.stats["batches"] += 1
+                    self.stats["batched_requests"] += n
+            except Exception as exc:  # noqa: BLE001 - report to callers
+                for p in batch:
+                    p.error = f"{type(exc).__name__}: {exc}"
+                    p.event.set()
+
+    def metrics(self) -> dict:
+        with self.lock:
+            lat = list(self.latencies_ms)
+            out = dict(self.stats)
+        out["mean_batch_size"] = (
+            round(out["batched_requests"] / out["batches"], 2)
+            if out["batches"] else 0.0
+        )
+        if lat:
+            ordered = sorted(lat)
+            out["latency_p50_ms"] = round(statistics.median(ordered), 2)
+            out["latency_p99_ms"] = round(
+                ordered[min(len(ordered) - 1,
+                            int(0.99 * len(ordered)))], 2
+            )
+        return out
+
+    def stop(self):
+        self._stop.set()
+
+
+def make_handler(service: BatchingService, predictor):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *_args):  # quiet server logs
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            import jax
+
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok",
+                                  "backend": jax.default_backend()})
+            elif self.path == "/metrics":
+                self._reply(200, service.metrics())
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/answer":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                question = req["question"]
+                top_k = int(req.get("top_k", 5))
+                from PIL import Image
+
+                raw = base64.b64decode(req["image_b64"])
+                with Image.open(io.BytesIO(raw)) as img:
+                    image = predictor.preprocess_image(img)
+            except Exception as exc:  # noqa: BLE001 - bad request
+                self._reply(400, {"error": f"bad request: {exc}"})
+                return
+            try:
+                answers = service.submit(image, question, top_k)
+                self._reply(200, {"answers": answers})
+            except Exception as exc:  # noqa: BLE001 - inference failure
+                self._reply(500, {"error": str(exc)})
+
+    return Handler
+
+
+def build_server(cfg, port: int = 0, max_batch: int = 64,
+                 batch_window_ms: float = 5.0):
+    """Returns (ThreadingHTTPServer, BatchingService); port 0 = ephemeral."""
+    from predict import Predictor
+
+    profile = cfg["main"]["full" if cfg["main"]["use_full"] else "small"]
+    predictor = Predictor(
+        cfg,
+        checkpoint_path=profile["paths"]["pretrained_model_path"],
+        vocab_path=profile["paths"]["vocab_path"],
+    )
+    service = BatchingService(predictor, max_batch=max_batch,
+                              batch_window_ms=batch_window_ms)
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(service, predictor)
+    )
+    return server, service
+
+
+def main(argv=None) -> int:
+    from dl_vqa_tpu import config as config_mod
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max-batch", type=int, default=64)
+    parser.add_argument("--batch-window-ms", type=float, default=5.0)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    cfg = config_mod.compose("config_eval", overrides=args.overrides)
+    server, _service = build_server(
+        cfg, port=args.port, max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
+    )
+    print(f"serving on http://127.0.0.1:{server.server_address[1]} "
+          f"(max_batch={args.max_batch}, window={args.batch_window_ms}ms)")
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,133 @@
+"""Serving daemon: HTTP batch inference, request coalescing, metrics."""
+
+import base64
+import json
+import os
+import threading
+import urllib.request
+
+import pytest
+
+import jax
+
+from dl_vqa_tpu.data import synthetic
+from dl_vqa_tpu.data.dataset import VQADataset
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from dl_vqa_tpu import config as config_mod
+    from dl_vqa_tpu.models import ModelConfig, vqa
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+    import serve
+
+    root = tmp_path_factory.mktemp("serve")
+    profile = synthetic.make_synthetic_corpus(
+        str(root / "data"), n_train=24, n_val=12, n_images=5, image_size=32,
+        max_answers=12,
+    )
+    overrides = [
+        "main.use_full=false",
+        "train.max_answers=12",
+        "train.image_size=32",
+        "train.text.question_features=16",
+        "train.text.embedding_features=8",
+        "train.image.num_channels=[3, 4, 6]",
+        "train.attention.hidden_dim=12",
+        "train.classifier.hidden_dim=16",
+        "tpu.compute_dtype=float32",
+        f"main.small.paths.vocab_path={profile['paths']['vocab_path']}",
+        f"main.small.paths.pretrained_model_path={root}/model.ckpt",
+    ]
+    cfg = config_mod.compose("config_eval", overrides=overrides)
+    ds = VQADataset(
+        data_paths=profile["val_paths"], other_paths=profile["paths"]
+    )
+    model_cfg = ModelConfig.from_cfg(cfg["train"], ds.num_tokens)
+    params = vqa.init(jax.random.PRNGKey(0), model_cfg)
+    ckpt.save_checkpoint(str(root / "model.ckpt"), params,
+                         model_cfg=model_cfg)
+
+    httpd, service = serve.build_server(cfg, port=0, max_batch=8,
+                                        batch_window_ms=30.0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    img_dir = os.path.join(profile["paths"]["base_path"], "val2014")
+    jpeg = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    with open(jpeg, "rb") as fd:
+        image_b64 = base64.b64encode(fd.read()).decode()
+
+    yield base, image_b64, service
+    service.stop()
+    httpd.shutdown()
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def test_healthz(server):
+    base, _, _ = server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        payload = json.loads(resp.read())
+    assert resp.status == 200 and payload["status"] == "ok"
+    assert payload["backend"] == jax.default_backend()
+
+
+def test_answer_endpoint(server):
+    base, image_b64, _ = server
+    status, payload = _post(base, "/v1/answer", {
+        "image_b64": image_b64,
+        "question": "what color is the cat?",
+        "top_k": 3,
+    })
+    assert status == 200
+    answers = payload["answers"]
+    assert len(answers) == 3
+    assert all(isinstance(a, str) and 0.0 <= p <= 1.0 for a, p in answers)
+    probs = [p for _, p in answers]
+    assert sorted(probs, reverse=True) == probs
+
+
+def test_concurrent_requests_coalesce(server):
+    base, image_b64, service = server
+    before = service.metrics()
+    results = [None] * 6
+
+    def fire(i):
+        results[i] = _post(base, "/v1/answer", {
+            "image_b64": image_b64,
+            "question": f"how many cats {i}?",
+        })
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(status == 200 for status, _ in results)
+    after = service.metrics()
+    new_requests = after["requests"] - before["requests"]
+    new_batches = after["batches"] - before["batches"]
+    assert new_requests == 6
+    # Coalescing: 6 concurrent requests ran in fewer than 6 batches.
+    assert new_batches < 6
+    assert "latency_p50_ms" in after and "latency_p99_ms" in after
+
+
+def test_bad_request_and_unknown_route(server):
+    base, image_b64, _ = server
+    status, payload = _post(base, "/v1/answer", {"question": "no image?"})
+    assert status == 400 and "error" in payload
+    status, _ = _post(base, "/nope", {})
+    assert status == 404
