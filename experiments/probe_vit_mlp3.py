@@ -1,0 +1,96 @@
+"""Probe 3: block-level (ln + mlp + residual) variants.
+
+probe_vit_mlp2 showed the bare MLP wins collapsed to [B*S, D], but the
+full-model bench REGRESSED (43.7k -> 39.2k): in context the reshape
+lands between the LN and the matmul and forces the LN output to
+materialize instead of fusing into the MLP prologue. Compare complete
+block variants to find the layout that keeps both wins.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+B, S, D = 512, 196, 256
+
+
+def timed(name, fn, *args):
+    def looped(n):
+        def body(i, acc):
+            out = fn(*((args[0] + acc.astype(args[0].dtype) * 1e-30,)
+                       + args[1:]))
+            return acc + out.astype(jnp.float32).sum() * 1e-30
+
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    run = jax.jit(looped, static_argnums=0)
+    float(run(2)); float(run(22))
+    t0 = time.perf_counter(); float(run(2)); ts = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(run(22)); tl = time.perf_counter() - t0
+    ms = (tl - ts) / 20.0 * 1e3
+    print(f"{name:40s}: {ms:7.3f} ms/iter", flush=True)
+    return ms
+
+
+def ln(x, s, b):
+    x32 = x.astype(jnp.float32)
+    m = x32.mean(axis=-1, keepdims=True)
+    v = ((x32 - m) ** 2).mean(axis=-1, keepdims=True)
+    return ((x32 - m) * lax.rsqrt(v + 1e-5) * s + b).astype(x.dtype)
+
+
+def mlp2(h, w1, b1, w2, b2):
+    h = jax.nn.relu(
+        jnp.dot(h, w1, preferred_element_type=jnp.float32) + b1
+    ).astype(jnp.bfloat16)
+    return (
+        jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
+    ).astype(jnp.bfloat16)
+
+
+def block_rank3(x, s, b, w1, b1, w2, b2):
+    return x + mlp2(ln(x, s, b), w1, b1, w2, b2)
+
+
+def block_reshape_after_ln(x, s, b, w1, b1, w2, b2):
+    h = ln(x, s, b).reshape(B * S, D)
+    return x + mlp2(h, w1, b1, w2, b2).reshape(B, S, D)
+
+
+def block_reshape_before_ln(x, s, b, w1, b1, w2, b2):
+    h = ln(x.reshape(B * S, D), s, b)
+    return x + mlp2(h, w1, b1, w2, b2).reshape(B, S, D)
+
+
+def block_all_2d(x, s, b, w1, b1, w2, b2):
+    x2 = x.reshape(B * S, D)
+    out = x2 + mlp2(ln(x2, s, b), w1, b1, w2, b2)
+    return out.reshape(B, S, D)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, S, D)), dtype=jnp.bfloat16)
+    s = jnp.ones(D)
+    b = jnp.zeros(D)
+    w1 = jnp.asarray(rng.standard_normal((D, 4 * D)) * 0.05,
+                     dtype=jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal(4 * D) * 0.05)
+    w2 = jnp.asarray(rng.standard_normal((4 * D, D)) * 0.05,
+                     dtype=jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal(D) * 0.05)
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    timed("block rank-3 (original)", block_rank3, x, s, b, w1, b1, w2, b2)
+    timed("block reshape after ln (regressed)", block_reshape_after_ln,
+          x, s, b, w1, b1, w2, b2)
+    timed("block reshape before ln", block_reshape_before_ln,
+          x, s, b, w1, b1, w2, b2)
+    timed("block residual in 2d", block_all_2d, x, s, b, w1, b1, w2, b2)
+
+
+if __name__ == "__main__":
+    main()
