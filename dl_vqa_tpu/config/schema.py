@@ -114,6 +114,7 @@ CFG_SCHEMA: Dict[str, Any] = {
             "model": int,
         },
         "remat": bool,
+        "grad_accum_steps": int,     # >1: microbatch gradient accumulation
         "checkpoint_backend": str,   # 'npz' (single file) | 'orbax' (async dir)
         "prefetch_depth": int,
         "use_pallas": bool,

@@ -129,6 +129,7 @@ def train(
     prefetch_depth: int = 2,
     profile_dir: str = "",
     remat: bool = False,
+    accum_steps: int = 1,
 ) -> Dict[str, float]:
     """Train to convergence / early stop; returns the reference's metrics
     dict (``Metrics/BestAccuracy`` etc.)."""
@@ -146,7 +147,8 @@ def train(
         # silently drop an earlier placement.
         state = jax.device_put(state, state_sharding)
 
-    train_step = make_train_step(model_cfg, tx, compute_dtype, remat=remat)
+    train_step = make_train_step(model_cfg, tx, compute_dtype, remat=remat,
+                                 accum_steps=accum_steps)
     eval_step = make_eval_step(model_cfg, compute_dtype)
     rng = jax.random.PRNGKey(seed)
 

@@ -81,6 +81,7 @@ def make_train_step(
     out_shardings=None,
     remat: bool = False,
     jit: bool = True,
+    accum_steps: int = 1,
 ):
     """Build the jitted fused train step.
 
@@ -90,23 +91,67 @@ def make_train_step(
     for bigger batches / deeper conv stacks). ``jit=False`` returns the
     raw step function for embedding in a larger traced program (e.g. the
     on-device benchmark loop in ``bench.py``).
+
+    ``accum_steps > 1`` (``tpu.grad_accum_steps``) splits each batch into
+    that many microbatches and accumulates gradients in a ``lax.scan``
+    before ONE optimizer update — activation memory scales with the
+    microbatch while the update sees the full batch's (averaged)
+    gradient, numerically matching the unaccumulated step up to
+    reduction order. The batch size must divide evenly; each microbatch
+    draws its own dropout fold.
     """
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(params):
-            loss, score, _ = _forward_loss(
-                params, cfg, batch, True, step_rng, compute_dtype
+        def grads_of(params, mb, mb_rng):
+            def loss_fn(p):
+                loss, score, _ = _forward_loss(
+                    p, cfg, mb, True, mb_rng, compute_dtype
+                )
+                return loss, score
+
+            if remat:
+                loss_fn = jax.checkpoint(loss_fn)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        if accum_steps == 1:
+            (loss, score), grads = grads_of(state.params, batch, step_rng)
+        else:
+            batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if batch_size % accum_steps != 0:
+                raise ValueError(
+                    f"batch size {batch_size} does not split into "
+                    f"tpu.grad_accum_steps={accum_steps} microbatches"
+                )
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum_steps, -1) + x.shape[1:]), batch
             )
-            return loss, score
 
-        if remat:
-            loss_fn = jax.checkpoint(loss_fn)
+            def body(carry, xs):
+                g_acc, l_acc, s_acc = carry
+                mb, idx = xs
+                (l, s), g = grads_of(
+                    state.params, mb, jax.random.fold_in(step_rng, idx)
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l, s_acc + s), None
 
-        (loss, score), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+            init = (
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                jnp.zeros(()), jnp.zeros(()),
+            )
+            (g_sum, l_sum, score), _ = jax.lax.scan(
+                body, init, (micro, jnp.arange(accum_steps))
+            )
+            # Per-micro losses are already sum/micro_batch (reference
+            # semantics), so their mean equals the full-batch loss; the
+            # score is a plain sum over samples.
+            grads = jax.tree_util.tree_map(
+                lambda g: g / accum_steps, g_sum
+            )
+            loss = l_sum / accum_steps
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

@@ -195,6 +195,7 @@ def main(cfg: dict) -> float:
         prefetch_depth=cfg["tpu"]["prefetch_depth"],
         profile_dir=cfg["tpu"]["profile_dir"],
         remat=cfg["tpu"]["remat"],
+        accum_steps=cfg["tpu"].get("grad_accum_steps", 1),
     )
 
     logger.report_metrics_hyper_params(

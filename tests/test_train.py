@@ -348,3 +348,56 @@ def test_async_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         snapshot_leaf,
     )
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2/4 (tpu.grad_accum_steps) reproduces the
+    unaccumulated update: per-micro losses are sum/micro_size, so their
+    mean equals the full-batch loss and the averaged gradients equal the
+    full-batch gradients up to reduction order (dropout=0 here so the
+    paths are numerically comparable)."""
+    from dl_vqa_tpu.train.state import create_train_state
+    from dl_vqa_tpu.train.steps import make_optimizer, make_train_step
+
+    cfg = _tiny_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    batch = _tiny_batch(cfg, batch=8)
+    rng = jax.random.PRNGKey(5)
+
+    def fresh_state():
+        # The jitted step donates the state, deleting its buffers — each
+        # run needs its own copy.
+        return create_train_state(
+            jax.tree_util.tree_map(jnp.array, params), tx
+        )
+
+    ref_state, ref_metrics = make_train_step(
+        cfg, tx, compute_dtype=jnp.float32
+    )(fresh_state(), batch, rng)
+
+    for accum in (2, 4):
+        state, metrics = make_train_step(
+            cfg, tx, compute_dtype=jnp.float32, accum_steps=accum
+        )(fresh_state(), batch, rng)
+        assert np.isclose(float(metrics["loss"]), float(ref_metrics["loss"]),
+                          rtol=1e-5)
+        assert np.isclose(float(metrics["score"]),
+                          float(ref_metrics["score"]), rtol=1e-5)
+        for a, e in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(ref_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       atol=1e-5, rtol=1e-4)
+
+
+def test_grad_accumulation_rejects_uneven_split():
+    from dl_vqa_tpu.train.state import create_train_state
+    from dl_vqa_tpu.train.steps import make_optimizer, make_train_step
+
+    cfg = _tiny_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32, accum_steps=3)
+    with pytest.raises(ValueError, match="does not split"):
+        step(create_train_state(params, tx), _tiny_batch(cfg, batch=8),
+             jax.random.PRNGKey(0))
