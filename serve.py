@@ -200,12 +200,17 @@ def make_handler(service: BatchingService, predictor):
             else:
                 self._reply(404, {"error": "not found"})
 
+        MAX_BODY_BYTES = 32 << 20  # bound host memory per request
+
         def do_POST(self):
             if self.path != "/v1/answer":
                 self._reply(404, {"error": "not found"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > self.MAX_BODY_BYTES:
+                    self._reply(413, {"error": "request body too large"})
+                    return
                 req = json.loads(self.rfile.read(length))
                 question = req["question"]
                 top_k = int(req.get("top_k", 5))
