@@ -179,20 +179,28 @@ def restore_state(template_state, path: str):
     return _unflatten_into(template_state, flat), meta.get("epoch")
 
 
-def load_params(path: str, params_template: Optional[Dict] = None) -> Dict:
+def load_params(path: str, params_template: Optional[Dict] = None,
+                with_meta: bool = False):
     """Load model params only. Accepts our npz checkpoints (full state or
-    bare params) and reference ``.pth`` torch checkpoints."""
+    bare params) and reference ``.pth`` torch checkpoints.
+
+    ``with_meta=True`` returns ``(params, meta)`` from the SAME read —
+    callers that also want checkpoint metadata (e.g. the predictor's
+    ``max_question_length``) must not pay a second full decompress /
+    Orbax restore. Torch checkpoints have no meta ({})."""
     if path.endswith((".pth", ".pt")):
         from dl_vqa_tpu.utils.torch_import import load_torch_checkpoint
 
-        return load_torch_checkpoint(path)["params"]
-    flat, _ = load_checkpoint(path)
+        params = load_torch_checkpoint(path)["params"]
+        return (params, {}) if with_meta else params
+    flat, meta = load_checkpoint(path)
     # Keep only the params subtree when given a full TrainState dump.
     param_keys = {k: v for k, v in flat.items() if k.startswith("params" + _SEP)}
     if param_keys:
         flat = {k[len("params" + _SEP):]: v for k, v in param_keys.items()}
     if params_template is not None:
-        return _unflatten_into(params_template, flat)
+        params = _unflatten_into(params_template, flat)
+        return (params, meta) if with_meta else params
     # Rebuild a nested dict from flat keys.
     tree: Dict = {}
     for key, value in flat.items():
@@ -201,4 +209,4 @@ def load_params(path: str, params_template: Optional[Dict] = None) -> Dict:
         for part in parts[:-1]:
             node = node.setdefault(part, {})
         node[parts[-1]] = value
-    return tree
+    return (tree, meta) if with_meta else tree

@@ -56,6 +56,18 @@ class TrainLogger:
 
         self.logger = self._init_logger(self.exp_dir, self.exp_name)
 
+    def close(self) -> None:
+        """Release the log handlers and the TensorBoard writer.
+
+        Long-lived processes that run many trials (sweep.py, ``main.py
+        -m``) create one TrainLogger per trial; ``logging``'s manager
+        retains every named logger forever, so without closing, each
+        trial leaks an open file handler for the process lifetime."""
+        self.tensorboard_writer.close()
+        for handler in list(self.logger.handlers):
+            self.logger.removeHandler(handler)
+            handler.close()
+
     # ----------------------------------------------------------- text
 
     def write(self, text: str, epoch: Optional[int] = None,

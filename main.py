@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import sys
+from typing import Optional
 
 import jax
 
@@ -201,19 +202,34 @@ def main(cfg: dict) -> float:
     logger.report_metrics_hyper_params(
         config_mod.flatten(cfg["train"]), metrics
     )
-    return float(metrics["Metrics/BestAccuracy"])
+    result = float(metrics["Metrics/BestAccuracy"])
+    logger.close()  # sweeps run many trials per process; don't leak handlers
+    return result
 
 
 def multirun_main(config_name: str, args, runner=None,
-                  max_trials: int = 4) -> float:
+                  max_trials: Optional[int] = None) -> float:
     """Hydra-style multirun: comma-valued overrides span the search space
     (``train.image.stride=1,2``), single-valued ones apply to every trial;
     bracketed values (``key=[3, 8]``) are single list values, as in
     Hydra's choice-sweep convention. Maximizes ``main()``'s returned best
-    accuracy through the sweep driver with the reference sweeper's trial
-    budget and early-stop semantics (``config.yaml:91-132``; TPE when the
-    space exceeds the budget). Returns the best value."""
-    from sweep import parse_space, run_sweep
+    accuracy through the sweep driver with the reference sweeper's
+    early-stop semantics (``config.yaml:91-132``).
+
+    By default EVERY combination runs (Hydra's basic-sweeper behavior);
+    pass ``--trials N`` among the args to cap the budget, in which case
+    the driver switches to TPE model-based search when the space exceeds
+    it (the Ax-plugin behavior). Returns the best value."""
+    from sweep import parse_space, run_sweep, space_size
+
+    args = list(args)
+    if max_trials is None and "--trials" in args:
+        at = args.index("--trials")
+        try:
+            max_trials = int(args[at + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("--trials needs an integer, e.g. --trials 8")
+        del args[at:at + 2]
 
     def _is_choice(a):
         v = a.split("=", 1)[1].strip()
@@ -226,6 +242,8 @@ def multirun_main(config_name: str, args, runner=None,
             "multirun (-m) needs at least one comma-valued override, "
             "e.g. train.image.stride=1,2"
         )
+    if max_trials is None:
+        max_trials = space_size(parse_space(space_args))
     if runner is None:
         from dl_vqa_tpu import config as config_mod
 

@@ -52,17 +52,18 @@ class Predictor:
             use_pallas=cfg["tpu"]["use_pallas"],
         )
         template = vqa.init(jax.random.PRNGKey(0), self.model_cfg)
-        self.params = load_params(checkpoint_path, template)
+        # One read for params AND metadata (a second load_checkpoint would
+        # decompress the whole npz / rerun the Orbax restore again —
+        # doubling serving cold-start).
+        self.params, meta = load_params(
+            checkpoint_path, template, with_meta=True
+        )
         # Encode questions at the length the checkpoint was trained with
         # (stored in npz metadata); 23 is only the legacy fallback for
         # reference .pth checkpoints / pre-metadata saves.
         self.max_question_length = 23
-        if not checkpoint_path.endswith((".pth", ".pt")):
-            from dl_vqa_tpu.utils.checkpoint import load_checkpoint
-
-            _, meta = load_checkpoint(checkpoint_path)
-            if meta.get("max_question_length"):
-                self.max_question_length = int(meta["max_question_length"])
+        if meta.get("max_question_length"):
+            self.max_question_length = int(meta["max_question_length"])
         compute_dtype = (
             jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16"
             else jnp.float32

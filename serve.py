@@ -19,10 +19,10 @@ TPU-native serving design:
   stragglers, and runs ONE jitted forward per batch — the same
   fixed-cost-amortization the bench measures (dispatch RTT dominates
   per-query time at batch 1).
-* **Bucketed static shapes.** Batches pad up to the next power of two
-  (<= ``--max-batch``), so the server compiles at most log2(max_batch)+1
-  programs, all cached after warmup (XLA recompiles on any new shape —
-  unbounded dynamic batch sizes would compile forever).
+* **Bucketed static shapes.** Batches pad up to the next power of two,
+  clamped to ``--max-batch``, so the server compiles at most
+  log2(max_batch)+2 programs, all cached after warmup (XLA recompiles on
+  any new shape — unbounded dynamic batch sizes would compile forever).
 * Host work (jpeg decode, resize, tokenize) happens on the handler
   threads, off the batcher's critical path.
 """
@@ -99,7 +99,18 @@ class BatchingService:
     # ---------------------------------------------------------- batcher side
 
     def _drain(self) -> List[_Pending]:
-        batch = [self.queue.get()]
+        """Block for the next request (checking the stop flag every few
+        hundred ms so :meth:`stop` is observed on an idle server), then
+        coalesce stragglers up to the window/limit. Returns [] on stop."""
+        batch: List[_Pending] = []
+        while not self._stop.is_set():
+            try:
+                batch.append(self.queue.get(timeout=0.25))
+                break
+            except queue.Empty:
+                continue
+        if not batch:
+            return batch
         deadline = time.perf_counter() + self.batch_window_s
         while len(batch) < self.max_batch:
             remaining = deadline - time.perf_counter()
@@ -111,20 +122,20 @@ class BatchingService:
                 break
         return batch
 
-    @staticmethod
-    def _bucket(n: int) -> int:
+    def _bucket(self, n: int) -> int:
+        # Next power of two, clamped to the configured cap (a
+        # non-power-of-two --max-batch must never compile/pad PAST it).
         size = 1
         while size < n:
             size *= 2
-        return size
+        return min(size, self.max_batch)
 
     def _run(self):
         import numpy as np
 
         while not self._stop.is_set():
-            try:
-                batch = self._drain()
-            except Exception:  # noqa: BLE001 - queue shutdown
+            batch = self._drain()
+            if not batch:
                 continue
             try:
                 n = len(batch)
@@ -232,7 +243,7 @@ def make_handler(service: BatchingService, predictor):
 
 
 def build_server(cfg, port: int = 0, max_batch: int = 64,
-                 batch_window_ms: float = 5.0):
+                 batch_window_ms: float = 5.0, host: str = "127.0.0.1"):
     """Returns (ThreadingHTTPServer, BatchingService); port 0 = ephemeral."""
     from predict import Predictor
 
@@ -245,7 +256,7 @@ def build_server(cfg, port: int = 0, max_batch: int = 64,
     service = BatchingService(predictor, max_batch=max_batch,
                               batch_window_ms=batch_window_ms)
     server = ThreadingHTTPServer(
-        ("127.0.0.1", port), make_handler(service, predictor)
+        (host, port), make_handler(service, predictor)
     )
     return server, service
 
@@ -255,6 +266,8 @@ def main(argv=None) -> int:
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address (0.0.0.0 for off-host clients)")
     parser.add_argument("--max-batch", type=int, default=64)
     parser.add_argument("--batch-window-ms", type=float, default=5.0)
     parser.add_argument("overrides", nargs="*")
@@ -263,9 +276,9 @@ def main(argv=None) -> int:
     cfg = config_mod.compose("config_eval", overrides=args.overrides)
     server, _service = build_server(
         cfg, port=args.port, max_batch=args.max_batch,
-        batch_window_ms=args.batch_window_ms,
+        batch_window_ms=args.batch_window_ms, host=args.host,
     )
-    print(f"serving on http://127.0.0.1:{server.server_address[1]} "
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(max_batch={args.max_batch}, window={args.batch_window_ms}ms)")
     server.serve_forever()
     return 0

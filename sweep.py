@@ -50,6 +50,16 @@ def parse_space(items: Sequence[str]) -> Dict[str, List]:
     return space
 
 
+def space_size(space: Dict[str, List]) -> int:
+    """Number of points in the cartesian space, WITHOUT materializing it
+    (a 10-key space can have billions of points; deciding grid-vs-TPE
+    must not enumerate them)."""
+    size = 1
+    for values in space.values():
+        size *= len(values)
+    return size
+
+
 def _full_grid(space: Dict[str, List]) -> List[Dict]:
     keys = list(space)
     return [dict(zip(keys, combo))
@@ -87,8 +97,8 @@ def run_sweep(space: Dict[str, List], max_trials: int,
             cfg = config_mod.compose("config", overrides=list(overrides))
             return main_mod.main(cfg)
 
-    grid = _full_grid(space)
-    grid = grid if len(grid) <= max_trials else None  # None => model-based
+    # None => model-based (TPE); materialize only when it fits the budget.
+    grid = _full_grid(space) if space_size(space) <= max_trials else None
     rng = random.Random(seed)
 
     best_value, best_assignment = float("-inf"), None

@@ -131,3 +131,20 @@ def test_bad_request_and_unknown_route(server):
     assert status == 400 and "error" in payload
     status, _ = _post(base, "/nope", {})
     assert status == 404
+
+
+def test_bucket_clamps_to_max_batch_and_stop_terminates():
+    """A non-power-of-two --max-batch must never pad PAST the cap, and
+    stop() must terminate an idle batcher thread (it polls the queue)."""
+    import serve
+
+    service = serve.BatchingService(predictor=None, max_batch=48,
+                                    batch_window_ms=1.0)
+    try:
+        assert service._bucket(5) == 8
+        assert service._bucket(33) == 48   # clamped, not 64
+        assert service._bucket(48) == 48
+    finally:
+        service.stop()
+    service.thread.join(timeout=2.0)
+    assert not service.thread.is_alive()

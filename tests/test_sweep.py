@@ -145,3 +145,39 @@ def test_multirun_main_requires_choice():
 
     with pytest.raises(SystemExit, match="comma-valued"):
         main_mod.multirun_main("config", ["main.seed=1"], runner=lambda o: 0.0)
+
+
+def test_space_size_without_materialization():
+    """Deciding grid-vs-TPE must not enumerate the cartesian product."""
+    huge = {f"k{i}": list(range(10)) for i in range(10)}  # 10^10 points
+    assert sweep.space_size(huge) == 10 ** 10
+
+    calls = []
+
+    def fake_runner(overrides):
+        calls.append(overrides)
+        return float(len(calls))
+
+    _, _, history = sweep.run_sweep(huge, max_trials=3, base_overrides=[],
+                                    runner=fake_runner, sampler="random")
+    assert len(history) == 3  # returned promptly; model-based path taken
+
+
+def test_multirun_trials_flag_and_full_grid_default():
+    import main as main_mod
+
+    calls = []
+
+    def fake_runner(overrides):
+        calls.append(list(overrides))
+        return float(len(calls))
+
+    # Default: every combination runs (Hydra basic-sweeper behavior).
+    main_mod.multirun_main("config", ["a=1,2,3"], runner=fake_runner)
+    assert len(calls) == 3
+
+    # --trials caps the budget.
+    calls.clear()
+    main_mod.multirun_main("config", ["a=1,2,3", "--trials", "2"],
+                           runner=fake_runner)
+    assert len(calls) == 2
