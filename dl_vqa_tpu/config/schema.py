@@ -112,7 +112,10 @@ CFG_SCHEMA: Dict[str, Any] = {
         "mesh": {
             "data": int,             # -1 = all remaining devices
             "model": int,
+            "stage": int,            # pipeline stages (>1 needs encoder=vit)
         },
+        # microbatches for the pipeline schedule; 0 = one per stage
+        "pipeline_microbatches": int,
         "remat": bool,
         "grad_accum_steps": int,     # >1: microbatch gradient accumulation
         "checkpoint_backend": str,   # 'npz' (single file) | 'orbax' (async dir)

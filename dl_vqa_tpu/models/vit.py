@@ -186,10 +186,57 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
     return x + _dropout(mlp, dropout, train, rngs[1])
 
 
+def _pipelined_blocks(layers, x, num_heads, dtype, use_pallas, dropout,
+                      train, rng, ctx):
+    """Run the block stack through the GPipe executor: per-layer dropout
+    keys ride inside the stacked layer pytree (same site ids as the
+    sequential loop), the batch splits into ``ctx.num_microbatches``."""
+    from dl_vqa_tpu.models.vqa import _site_rng
+    from dl_vqa_tpu.parallel.pipeline import pipeline_apply, stack_layers
+
+    batch = x.shape[0]
+    m = ctx.num_microbatches
+    if batch % m != 0:
+        raise ValueError(
+            f"batch {batch} does not split into {m} pipeline microbatches"
+        )
+    with_rng = train and dropout > 0.0 and rng is not None
+    if with_rng:
+        stacked = stack_layers([
+            dict(layer, _rngs=jnp.stack([
+                _site_rng(rng, 21 + 2 * idx), _site_rng(rng, 22 + 2 * idx)
+            ]))
+            for idx, layer in enumerate(layers)
+        ])
+    else:
+        stacked = stack_layers(list(layers))
+
+    def fn(layer, t):
+        layer = dict(layer)
+        keys = layer.pop("_rngs", None)
+        rngs = (keys[0], keys[1]) if keys is not None else (None, None)
+        return apply_vit_block(layer, t, num_heads, dtype,
+                               use_pallas=use_pallas, dropout=dropout,
+                               train=train, rngs=rngs)
+
+    xm = x.reshape((m, batch // m) + x.shape[1:])
+    xm = pipeline_apply(fn, stacked, xm, ctx.mesh,
+                        stage_axis=ctx.stage_axis, data_axis=ctx.data_axis)
+    return xm.reshape((batch,) + x.shape[1:])
+
+
 def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                     num_heads: int, dropout: float, train: bool, rng,
-                    dtype=jnp.float32, use_pallas: bool = False) -> jnp.ndarray:
-    """images [B, H, W, 3] -> feature grid [B, g, g, D]."""
+                    dtype=jnp.float32, use_pallas: bool = False,
+                    pipeline_ctx=None) -> jnp.ndarray:
+    """images [B, H, W, 3] -> feature grid [B, g, g, D].
+
+    ``pipeline_ctx`` routes the block stack through the GPipe executor
+    (``tpu.mesh.stage``): identical block math (same ``apply_vit_block``
+    and the same per-layer dropout site keys), microbatched over the
+    stage axis. With dropout off the pipelined and sequential paths are
+    numerically identical up to reduction order; with dropout on, masks
+    are drawn per-microbatch shape, so streams differ (both valid)."""
     from dl_vqa_tpu.models.vqa import _dropout, _site_rng
 
     batch, h, w, _ = images.shape
@@ -209,16 +256,22 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
     x = (x + params["pos"][: gh * gw]).astype(dtype)
     x = _dropout(x, dropout, train, _site_rng(rng, 20))
 
-    for idx, layer in enumerate(params["layers"]):
-        # Kernel dispatch is eval-only by measurement: in training the
-        # kernel's recompute-backward re-adds the XLA split/transpose
-        # passes and nets -9% (6,540 -> 5,980 samples/s/chip on v5e).
-        x = apply_vit_block(
-            layer, x, num_heads, dtype,
-            use_pallas=use_pallas and not train,
-            dropout=dropout, train=train,
-            rngs=(_site_rng(rng, 21 + 2 * idx), _site_rng(rng, 22 + 2 * idx)),
-        )
+    # Kernel dispatch is eval-only by measurement: in training the
+    # kernel's recompute-backward re-adds the XLA split/transpose
+    # passes and nets -9% (6,540 -> 5,980 samples/s/chip on v5e).
+    kernel_ok = use_pallas and not train
+    if pipeline_ctx is not None:
+        x = _pipelined_blocks(params["layers"], x, num_heads, dtype,
+                              kernel_ok, dropout, train, rng, pipeline_ctx)
+    else:
+        for idx, layer in enumerate(params["layers"]):
+            x = apply_vit_block(
+                layer, x, num_heads, dtype,
+                use_pallas=kernel_ok,
+                dropout=dropout, train=train,
+                rngs=(_site_rng(rng, 21 + 2 * idx),
+                      _site_rng(rng, 22 + 2 * idx)),
+            )
 
     x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])
     dim = x.shape[-1]

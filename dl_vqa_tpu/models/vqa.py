@@ -168,20 +168,28 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
 # ---------------------------------------------------------------- submodules
 
 def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
-                  train: bool, rng, dtype) -> jnp.ndarray:
+                  train: bool, rng, dtype,
+                  pipeline_ctx=None) -> jnp.ndarray:
     """Image feature grid [B, g, g, C] (NHWC).
 
     'cnn': conv->relu->maxpool blocks + trailing dropout (ref
     ``model.py:72-84``), each block through :func:`dl_vqa_tpu.ops.
     conv_fused.conv_relu_pool` (XLA path by measurement).
-    'vit': patch transformer (new family; see models/vit.py)."""
+    'vit': patch transformer (new family; see models/vit.py); its block
+    stack optionally runs pipeline-parallel (``pipeline_ctx``)."""
     if cfg.image.encoder == "vit":
         from dl_vqa_tpu.models.vit import apply_vit_image
 
         return apply_vit_image(
             params["image"], images, cfg.image.patch_size,
             cfg.image.num_heads, cfg.image.dropout, train, rng, dtype,
-            use_pallas=cfg.use_pallas,
+            use_pallas=cfg.use_pallas, pipeline_ctx=pipeline_ctx,
+        )
+    if pipeline_ctx is not None:
+        raise ValueError(
+            "tpu.mesh.stage > 1 (pipeline parallelism) requires "
+            "train.image.encoder=vit — the cnn stack has no repeated "
+            "layer structure to stage"
         )
 
     from dl_vqa_tpu.ops.conv_fused import conv_relu_pool
@@ -347,11 +355,16 @@ def apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    pipeline_ctx=None,
 ) -> jnp.ndarray:
     """Forward pass -> answer logits [B, max_answers] (fp32).
 
     Mirrors ref ``model.py:53-67``: encode image, L2-normalize channels,
     encode question, attend, pool, concat [v, q], classify.
+
+    ``pipeline_ctx`` (a :class:`dl_vqa_tpu.parallel.pipeline.
+    PipelineContext`) runs the ViT block stack pipeline-parallel over
+    the mesh's 'stage' axis (``tpu.mesh.stage``).
     """
     if train and rng is None:
         raise ValueError("train=True requires a dropout rng")
@@ -367,7 +380,8 @@ def apply(
             - jnp.asarray(IMAGENET_MEAN, dtype=compute_dtype)
         ) / jnp.asarray(IMAGENET_STD, dtype=compute_dtype)
 
-    v = image_encoder(params, cfg, images, train, rng, compute_dtype)
+    v = image_encoder(params, cfg, images, train, rng, compute_dtype,
+                      pipeline_ctx=pipeline_ctx)
     v = v.astype(jnp.float32)
     v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
 

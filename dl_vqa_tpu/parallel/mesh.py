@@ -31,20 +31,29 @@ __all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated",
 def make_mesh(
     data: int = -1,
     model: int = 1,
+    stage: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh. ``data=-1`` uses all devices left
-    after the model axis."""
+    """Build a ('data', 'model'[, 'stage']) mesh. ``data=-1`` uses all
+    devices left after the model/stage axes. The 'stage' axis (pipeline
+    parallelism, ``tpu.mesh.stage``) is only materialized when > 1 so
+    existing two-axis meshes stay unchanged."""
     devices = list(devices if devices is not None else jax.devices())
     if model < 1:
         model = 1
+    if stage < 1:
+        stage = 1
     if data == -1:
-        data = len(devices) // model
-    n = data * model
+        data = len(devices) // (model * stage)
+    n = data * model * stage
     if n > len(devices):
         raise ValueError(
-            f"mesh {data}x{model} needs {n} devices, have {len(devices)}"
+            f"mesh {data}x{model}x{stage} needs {n} devices, have "
+            f"{len(devices)}"
         )
+    if stage > 1:
+        grid = np.asarray(devices[:n]).reshape(data, model, stage)
+        return Mesh(grid, axis_names=("data", "model", "stage"))
     grid = np.asarray(devices[:n]).reshape(data, model)
     return Mesh(grid, axis_names=("data", "model"))
 

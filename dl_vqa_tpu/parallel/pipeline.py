@@ -29,6 +29,7 @@ the executor itself is written for the general case: any per-layer
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -37,7 +38,21 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["stack_layers", "pipeline_apply", "make_pipeline_mesh"]
+__all__ = ["stack_layers", "pipeline_apply", "make_pipeline_mesh",
+           "PipelineContext"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineContext:
+    """Runtime wiring for pipeline-parallel training/eval
+    (``tpu.mesh.stage > 1``): the mesh carrying the stage axis plus the
+    microbatch count. Passed through ``vqa.apply(pipeline_ctx=...)`` so
+    the model stays a pure function of (params, config, batch)."""
+
+    mesh: Mesh
+    num_microbatches: int
+    stage_axis: str = "stage"
+    data_axis: str = "data"
 
 
 def make_pipeline_mesh(

@@ -130,6 +130,7 @@ def train(
     profile_dir: str = "",
     remat: bool = False,
     accum_steps: int = 1,
+    pipeline_ctx=None,
 ) -> Dict[str, float]:
     """Train to convergence / early stop; returns the reference's metrics
     dict (``Metrics/BestAccuracy`` etc.)."""
@@ -148,8 +149,10 @@ def train(
         state = jax.device_put(state, state_sharding)
 
     train_step = make_train_step(model_cfg, tx, compute_dtype, remat=remat,
-                                 accum_steps=accum_steps)
-    eval_step = make_eval_step(model_cfg, compute_dtype)
+                                 accum_steps=accum_steps,
+                                 pipeline_ctx=pipeline_ctx)
+    eval_step = make_eval_step(model_cfg, compute_dtype,
+                               pipeline_ctx=pipeline_ctx)
     rng = jax.random.PRNGKey(seed)
 
     best_eval_score = 0.0

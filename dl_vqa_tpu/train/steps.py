@@ -55,6 +55,7 @@ def _forward_loss(
     train: bool,
     rng: Optional[jax.Array],
     compute_dtype,
+    pipeline_ctx=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (loss, score_sum, logits) — the single forward used by both
     the train and eval steps."""
@@ -62,6 +63,7 @@ def _forward_loss(
         params, cfg,
         batch["images"], batch["questions"], batch["lengths"],
         train=train, rng=rng, compute_dtype=compute_dtype,
+        pipeline_ctx=pipeline_ctx,
     )
     mask = batch.get("mask")
     loss = soft_cross_entropy(
@@ -82,6 +84,7 @@ def make_train_step(
     remat: bool = False,
     jit: bool = True,
     accum_steps: int = 1,
+    pipeline_ctx=None,
 ):
     """Build the jitted fused train step.
 
@@ -107,7 +110,7 @@ def make_train_step(
         def grads_of(params, mb, mb_rng):
             def loss_fn(p):
                 loss, score, _ = _forward_loss(
-                    p, cfg, mb, True, mb_rng, compute_dtype
+                    p, cfg, mb, True, mb_rng, compute_dtype, pipeline_ctx
                 )
                 return loss, score
 
@@ -174,6 +177,7 @@ def make_eval_step(
     compute_dtype=jnp.bfloat16,
     in_shardings=None,
     with_breakdown: bool = False,
+    pipeline_ctx=None,
 ):
     """Build the jitted eval step: ``eval_step(params, batch) -> (loss,
     score_sum)`` — only scalars leave the device per batch.
@@ -183,7 +187,7 @@ def make_eval_step(
 
     def step_fn(params: Dict, batch: Dict):
         loss, score, logits = _forward_loss(
-            params, cfg, batch, False, None, compute_dtype
+            params, cfg, batch, False, None, compute_dtype, pipeline_ctx
         )
         if with_breakdown:
             sums, counts = vqa_accuracy_by_type(

@@ -126,8 +126,15 @@ def main(cfg: dict) -> float:
 
     # Mesh + sharding (single chip degenerates to no-op sharding).
     mesh_cfg = cfg["tpu"]["mesh"]
-    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"])
+    stage = mesh_cfg.get("stage", 1)
+    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage)
     b_sharding = make_batch_sharding(mesh)
+    pipeline_ctx = None
+    if stage > 1:
+        from dl_vqa_tpu.parallel.pipeline import PipelineContext
+
+        micro = cfg["tpu"].get("pipeline_microbatches", 0) or stage
+        pipeline_ctx = PipelineContext(mesh, num_microbatches=micro)
     state_sharding = None
     if mesh.shape["model"] > 1:
         from dl_vqa_tpu.parallel import param_shardings, state_shardings
@@ -197,6 +204,7 @@ def main(cfg: dict) -> float:
         profile_dir=cfg["tpu"]["profile_dir"],
         remat=cfg["tpu"]["remat"],
         accum_steps=cfg["tpu"].get("grad_accum_steps", 1),
+        pipeline_ctx=pipeline_ctx,
     )
 
     logger.report_metrics_hyper_params(

@@ -148,3 +148,139 @@ def test_pipeline_errors(rng):
         pipeline_apply(_mlp_fn, stack_layers(layers), x, mesh)
     with pytest.raises(ValueError, match="needs"):
         make_pipeline_mesh(data=4, stage=4)
+
+
+def _vit_cfg(dropout=0.0):
+    from dl_vqa_tpu.models.configs import (
+        AttentionConfig, ClassifierConfig, ImageConfig, ModelConfig,
+        TextConfig,
+    )
+
+    return ModelConfig(
+        text=TextConfig(question_features=16, embedding_features=8,
+                        dropout=dropout),
+        image=ImageConfig(encoder="vit", num_channels=(3, 32), patch_size=8,
+                          num_layers=4, num_heads=2, dropout=dropout),
+        attention=AttentionConfig(hidden_dim=16, glimpses=2,
+                                  dropout=dropout),
+        classifier=ClassifierConfig(hidden_dim=16, dropout=dropout),
+        max_answers=16,
+        image_size=32,
+        num_tokens=40,
+    )
+
+
+def _vit_batch(rng, batch=8):
+    import jax.numpy as jnp
+
+    return {
+        "images": jnp.asarray(
+            rng.standard_normal((batch, 32, 32, 3)), dtype=jnp.float32
+        ),
+        "questions": jnp.asarray(rng.integers(1, 40, (batch, 6)),
+                                 dtype=jnp.int32),
+        "lengths": jnp.asarray(rng.integers(1, 7, (batch,)),
+                               dtype=jnp.int32),
+        "answer_indices": jnp.asarray(
+            rng.integers(1, 17, (batch, 2)), dtype=jnp.int32
+        ),
+        "answer_values": jnp.asarray(
+            rng.integers(0, 11, (batch, 2)), dtype=jnp.int32
+        ),
+        "mask": jnp.ones((batch,), dtype=bool),
+    }
+
+
+def test_full_model_pipeline_matches_sequential(rng):
+    """vqa.apply(pipeline_ctx=...) == the sequential model (dropout off):
+    the tpu.mesh.stage surface end-to-end at the model level."""
+    from dl_vqa_tpu.models import vqa
+    from dl_vqa_tpu.parallel import make_mesh
+    from dl_vqa_tpu.parallel.pipeline import PipelineContext
+
+    cfg = _vit_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    batch = _vit_batch(rng)
+    mesh = make_mesh(data=2, model=1, stage=2)
+    ctx = PipelineContext(mesh, num_microbatches=2)
+
+    ref = vqa.apply(params, cfg, batch["images"], batch["questions"],
+                    batch["lengths"], train=False)
+    out = vqa.apply(params, cfg, batch["images"], batch["questions"],
+                    batch["lengths"], train=False, pipeline_ctx=ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipelined_train_step_matches_sequential(rng):
+    """One fused train step with tpu.mesh.stage=2 reproduces the
+    unpipelined update (dropout off so the paths are comparable)."""
+    from dl_vqa_tpu.models import vqa
+    from dl_vqa_tpu.parallel import make_mesh
+    from dl_vqa_tpu.parallel.pipeline import PipelineContext
+    from dl_vqa_tpu.train.state import create_train_state
+    from dl_vqa_tpu.train.steps import make_optimizer, make_train_step
+
+    cfg = _vit_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    batch = _vit_batch(rng)
+    key = jax.random.PRNGKey(3)
+
+    def fresh():
+        return create_train_state(
+            jax.tree_util.tree_map(jnp.array, params), tx
+        )
+
+    ref_state, ref_metrics = make_train_step(
+        cfg, tx, compute_dtype=jnp.float32
+    )(fresh(), batch, key)
+
+    mesh = make_mesh(data=4, model=1, stage=2)
+    ctx = PipelineContext(mesh, num_microbatches=2)
+    pp_state, pp_metrics = make_train_step(
+        cfg, tx, compute_dtype=jnp.float32, pipeline_ctx=ctx
+    )(fresh(), batch, key)
+
+    assert np.isclose(float(pp_metrics["loss"]),
+                      float(ref_metrics["loss"]), rtol=1e-5)
+    for a, e in zip(jax.tree_util.tree_leaves(pp_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_pipelined_train_step_with_dropout_runs(rng):
+    """Dropout draws per-microbatch masks in the pipelined path (a
+    different but equally valid stream); the step must stay finite."""
+    from dl_vqa_tpu.models import vqa
+    from dl_vqa_tpu.parallel import make_mesh
+    from dl_vqa_tpu.parallel.pipeline import PipelineContext
+    from dl_vqa_tpu.train.state import create_train_state
+    from dl_vqa_tpu.train.steps import make_optimizer, make_train_step
+
+    cfg = _vit_cfg(dropout=0.2)
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    mesh = make_mesh(data=2, model=1, stage=2)
+    ctx = PipelineContext(mesh, num_microbatches=2)
+    state, metrics = make_train_step(
+        cfg, tx, compute_dtype=jnp.float32, pipeline_ctx=ctx
+    )(create_train_state(params, tx), _vit_batch(rng), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pipeline_rejects_cnn_encoder(rng):
+    from dl_vqa_tpu.models import vqa
+    from dl_vqa_tpu.models.configs import ModelConfig
+    from dl_vqa_tpu.parallel import make_mesh
+    from dl_vqa_tpu.parallel.pipeline import PipelineContext
+
+    cfg = ModelConfig(num_tokens=40, max_answers=16, image_size=32)
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    batch = _vit_batch(rng, batch=2)
+    ctx = PipelineContext(make_mesh(data=2, model=1, stage=2),
+                          num_microbatches=2)
+    with pytest.raises(ValueError, match="encoder=vit"):
+        vqa.apply(params, cfg, batch["images"], batch["questions"],
+                  batch["lengths"], train=False, pipeline_ctx=ctx)
