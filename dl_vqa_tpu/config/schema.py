@@ -118,6 +118,9 @@ CFG_SCHEMA: Dict[str, Any] = {
         "pipeline_microbatches": int,
         "remat": bool,
         "grad_accum_steps": int,     # >1: microbatch gradient accumulation
+        # 'auto' | 'on' | 'off': keep the image feature store resident on
+        # device; batches carry row indices, the step gathers on device
+        "device_image_cache": str,
         "checkpoint_backend": str,   # 'npz' (single file) | 'orbax' (async dir)
         "prefetch_depth": int,
         "use_pallas": bool,

@@ -167,6 +167,7 @@ class VQADataset:
                 setattr(self, name, getattr(self, name)[keep])
 
         self._h5 = None  # lazy per-process handle (safe across forks)
+        self._features = None  # lazy memmap/h5 view of the image store
 
     # -- reference-compatible accessors ---------------------------------
 
@@ -207,7 +208,53 @@ class VQADataset:
             self._h5 = h5py.File(self.image_path, "r")
         return self._h5
 
+    def _features_view(self):
+        """The image feature store, as a zero-copy ``np.memmap`` when the
+        h5 dataset is contiguous and uncompressed (our cache builder's
+        layout, and the reference's): batch gathers then run at
+        page-cache speed via numpy fancy indexing instead of h5py's
+        per-row read path — measured 1.4-3.0 s -> <0.1 s per 512-image
+        batch on the at-scale corpus (1 host core), which took the
+        end-to-end h5 training path from ~110 to device-bound
+        samples/s. Chunked/compressed files fall back to the h5py
+        dataset. The memmap maps pages lazily, so this works at any
+        cache size (real VQA 2.0 train2014 is ~24 GB)."""
+        if self._features is None:
+            feats = self._h5_handle()["features"]
+            if feats.chunks is None and feats.compression is None:
+                offset = feats.id.get_offset()
+                if offset is not None:
+                    self._features = np.memmap(
+                        self.image_path, dtype=feats.dtype, mode="r",
+                        offset=offset, shape=feats.shape,
+                    )
+                    return self._features
+            self._features = feats
+        return self._features
+
     # -- image access ------------------------------------------------------
+
+    @property
+    def image_store_nbytes(self) -> int:
+        """Size of the full image feature store in bytes (fp16), WITHOUT
+        loading it — the budget check for the device-resident cache."""
+        if not getattr(self, "has_image_rows", True):
+            return 0
+        shape = self._h5_handle()["features"].shape
+        return int(np.prod(shape)) * 2
+
+    def features_nhwc_all(self, dtype=np.float16) -> np.ndarray:
+        """The WHOLE image store as one [N, H, W, 3] array — the host
+        side of the device-resident image cache (``tpu.
+        device_image_cache``): uploaded once, batches then carry only
+        row indices and the gather runs on device. On relay-backed
+        runtimes the per-batch host->device image transfer (~147 MiB at
+        ~40 MB/s) dominates the end-to-end step; a one-time upload
+        removes it entirely."""
+        feats = self._features_view()
+        return np.ascontiguousarray(
+            np.asarray(feats[:], dtype=dtype).transpose(0, 2, 3, 1)
+        )
 
     def load_images_chw(self, sample_indices: np.ndarray,
                         dtype=np.float32) -> np.ndarray:
@@ -218,8 +265,11 @@ class VQADataset:
                 "map); rebuild it with require_image_cache=True or use the "
                 "online pipeline."
             )
-        feats = self._h5_handle()["features"]
+        feats = self._features_view()
         rows = self.h5_rows[sample_indices]
+        if isinstance(feats, np.memmap):
+            # numpy fancy indexing handles unsorted/duplicate rows natively.
+            return np.asarray(feats[rows], dtype=dtype)
         # h5py fancy indexing needs sorted unique rows; gather then scatter.
         order = np.argsort(rows, kind="stable")
         sorted_rows = rows[order]
@@ -288,6 +338,7 @@ class VQADataset:
                 setattr(obj, f, data[f])
             obj._image_id_to_row = None
             obj._h5 = None
+            obj._features = None
             return obj
 
     @classmethod

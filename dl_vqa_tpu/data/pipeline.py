@@ -73,6 +73,12 @@ class Batcher:
                 batch["answer_types"] = self.dataset.answer_types[idx]
             if self.load_images:
                 batch["images"] = self.dataset.load_images_nhwc(idx)
+            elif getattr(self.dataset, "has_image_rows", False):
+                # Device-resident image cache mode: ship only the h5 rows;
+                # the step gathers images from the on-device table.
+                batch["image_rows"] = self.dataset.h5_rows[idx].astype(
+                    np.int32
+                )
             yield batch
 
 

@@ -69,7 +69,8 @@ def get_metrics(best_eval_score: float, eval_score: float,
 
 
 def evaluate(eval_step, params, batcher: Batcher, sharding=None,
-             prefetch_depth: int = 2, breakdown: bool = False):
+             prefetch_depth: int = 2, breakdown: bool = False,
+             image_table=None):
     """Full eval pass -> (score%, mean loss)[, per-type breakdown dict].
 
     Per-batch results accumulate as DEVICE scalars (a float() per batch
@@ -84,6 +85,8 @@ def evaluate(eval_step, params, batcher: Batcher, sharding=None,
     n_samples = len(batcher.dataset)
     loss_total = score_total = sums_total = counts_total = None
     for batch in prefetch_to_device(iter(batcher), sharding, prefetch_depth):
+        if image_table is not None:
+            batch = dict(batch, image_table=image_table)
         out = eval_step(params, batch)
         loss, score = out[0], out[1]
         loss_total = loss if loss_total is None else loss_total + loss
@@ -131,6 +134,8 @@ def train(
     remat: bool = False,
     accum_steps: int = 1,
     pipeline_ctx=None,
+    train_image_table=None,
+    eval_image_table=None,
 ) -> Dict[str, float]:
     """Train to convergence / early stop; returns the reference's metrics
     dict (``Metrics/BestAccuracy`` etc.)."""
@@ -178,6 +183,8 @@ def train(
         for batch in prefetch_to_device(
             iter(train_batcher), batch_sharding, prefetch_depth
         ):
+            if train_image_table is not None:
+                batch = dict(batch, image_table=train_image_table)
             if epoch == 0 and loss_total is None and hasattr(
                 logger, "report_compiled_graph"
             ):
@@ -215,7 +222,7 @@ def train(
 
         eval_score, eval_loss = evaluate(
             eval_step, state.params, eval_batcher, batch_sharding,
-            prefetch_depth,
+            prefetch_depth, image_table=eval_image_table,
         )
 
         logger.write_epoch_statistics(

@@ -58,10 +58,19 @@ def _forward_loss(
     pipeline_ctx=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (loss, score_sum, logits) — the single forward used by both
-    the train and eval steps."""
+    the train and eval steps.
+
+    Images come either in-batch (``batch["images"]``) or via the
+    device-resident cache (``batch["image_table"]`` gathered at
+    ``batch["image_rows"]`` — ``tpu.device_image_cache``; the gather is
+    an on-device HBM copy, removing the per-batch host->device image
+    transfer)."""
+    images = batch.get("images")
+    if images is None:
+        images = batch["image_table"][batch["image_rows"]]
     logits = vqa.apply(
         params, cfg,
-        batch["images"], batch["questions"], batch["lengths"],
+        images, batch["questions"], batch["lengths"],
         train=train, rng=rng, compute_dtype=compute_dtype,
         pipeline_ctx=pipeline_ctx,
     )

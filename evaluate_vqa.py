@@ -116,11 +116,29 @@ def evaluate_hw2(overrides=()) -> float:
             num_threads=cfg["main"]["num_workers"],
         )
         batcher = OnlineBatcher(val_dataset, cfg["train"]["batch_size"], loader)
+        image_table = None
     else:
-        batcher = Batcher(val_dataset, cfg["train"]["batch_size"])
+        # Device-resident image cache (tpu.device_image_cache): upload
+        # the feature store once, ship row indices per batch (see main.py).
+        device_cache = cfg["tpu"].get("device_image_cache", "auto")
+        image_table = None
+        nbytes = val_dataset.image_store_nbytes
+        if device_cache == "on" or (device_cache == "auto"
+                                    and 0 < nbytes <= (4 << 30)):
+            from dl_vqa_tpu.parallel import replicated
+
+            logger.write(
+                f"Device-resident image cache: {nbytes / 2**20:.0f} MiB"
+            )
+            image_table = jax.device_put(
+                val_dataset.features_nhwc_all(), replicated(mesh)
+            )
+        batcher = Batcher(val_dataset, cfg["train"]["batch_size"],
+                          load_images=image_table is None)
     score, _, per_type = evaluate(
         eval_step, params, batcher, make_batch_sharding(mesh),
         cfg["tpu"]["prefetch_depth"], breakdown=True,
+        image_table=image_table,
     )
     logger.write(
         "Per-type accuracy: "

@@ -401,3 +401,53 @@ def test_grad_accumulation_rejects_uneven_split():
     with pytest.raises(ValueError, match="does not split"):
         step(create_train_state(params, tx), _tiny_batch(cfg, batch=8),
              jax.random.PRNGKey(0))
+
+
+def test_device_image_table_matches_inbatch_images():
+    """tpu.device_image_cache: a step fed (image_table, image_rows)
+    reproduces the step fed the gathered images in-batch exactly (the
+    gather moves on device; values are identical)."""
+    from dl_vqa_tpu.train.steps import make_eval_step
+
+    cfg = _tiny_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(
+        rng.standard_normal((5, cfg.image_size, cfg.image_size, 3)),
+        dtype=jnp.float32,
+    )
+    rows = jnp.asarray(rng.integers(0, 5, 8), dtype=jnp.int32)
+    batch = _tiny_batch(cfg, batch=8)
+
+    step = make_eval_step(cfg, compute_dtype=jnp.float32)
+    with_images = dict(batch, images=table[rows])
+    loss_a, score_a = step(params, with_images)
+
+    indirect = dict(batch)
+    del indirect["images"]
+    indirect["image_table"] = table
+    indirect["image_rows"] = rows
+    loss_b, score_b = step(params, indirect)
+    assert float(loss_a) == float(loss_b)
+    assert float(score_a) == float(score_b)
+
+
+def test_batcher_emits_image_rows_without_images(tmp_path):
+    from dl_vqa_tpu.data import synthetic
+    from dl_vqa_tpu.data.dataset import VQADataset
+    from dl_vqa_tpu.data.pipeline import Batcher
+
+    profile = synthetic.make_synthetic_corpus(
+        str(tmp_path / "c"), n_train=10, n_val=5, n_images=4, image_size=32,
+    )
+    ds = VQADataset(data_paths=profile["train_paths"],
+                    other_paths=profile["paths"])
+    batch = next(iter(Batcher(ds, 4, load_images=False)))
+    assert "images" not in batch
+    np.testing.assert_array_equal(
+        batch["image_rows"], ds.h5_rows[batch["indices"]].astype(np.int32)
+    )
+    # And the table gather equals the per-batch loader.
+    table = ds.features_nhwc_all()
+    direct = ds.load_images_nhwc(batch["indices"])
+    np.testing.assert_array_equal(table[batch["image_rows"]], direct)
