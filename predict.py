@@ -148,23 +148,49 @@ class Predictor:
         probs = self.forward_probs(images, encoded, lengths)
         return [self.top_k_from_probs(row, top_k) for row in probs]
 
-    def predict_dataset_submission(self, dataset, batcher) -> List[dict]:
+    def predict_dataset_submission(self, dataset, batcher,
+                                   image_table=None) -> List[dict]:
         """Official VQA submission entries [{'question_id', 'answer'}]
         over an encoded dataset (argmax answers). The batcher must iterate
-        in dataset order (shuffle=False)."""
+        in dataset order (shuffle=False).
+
+        ``image_table`` (tpu.device_image_cache): a device-resident
+        feature table; the batcher must then emit ``image_rows`` instead
+        of images (``load_images=False``) and the gather runs on device
+        inside the jitted forward — removing the per-batch host->device
+        image transfer (the dominant cost on relay-backed runtimes)."""
         import numpy as np
 
         from dl_vqa_tpu.data.pipeline import prefetch_to_device
 
+        forward = self._forward
+        if image_table is not None:
+            import jax
+
+            if not hasattr(self, "_forward_rows"):
+                base = self._forward
+
+                def forward_rows(params, table, rows, questions, lengths):
+                    return base.__wrapped__(
+                        params, table[rows], questions, lengths
+                    )
+
+                self._forward_rows = jax.jit(forward_rows)
+
         answers = []
         offset = 0
         for batch in prefetch_to_device(iter(batcher), None, depth=2):
-            logits = np.asarray(
-                self._forward(
+            if image_table is not None:
+                logits_dev = self._forward_rows(
+                    self.params, image_table, batch["image_rows"],
+                    batch["questions"], batch["lengths"],
+                )
+            else:
+                logits_dev = self._forward(
                     self.params, batch["images"], batch["questions"],
                     batch["lengths"],
                 )
-            )
+            logits = np.asarray(logits_dev)
             mask = np.asarray(batch["mask"])
             preds = logits.argmax(axis=1)
             for i in range(len(preds)):
@@ -213,8 +239,21 @@ def main(argv=None) -> int:
                 data_paths=profile["val_paths"], other_paths=profile["paths"]
             )
         )
-        batcher = Batcher(dataset, cfg["train"]["batch_size"])
-        entries = predictor.predict_dataset_submission(dataset, batcher)
+        # Device-resident image cache (tpu.device_image_cache, same
+        # policy as main.py/evaluate_vqa.py).
+        device_cache = cfg["tpu"].get("device_image_cache", "auto")
+        image_table = None
+        nbytes = dataset.image_store_nbytes
+        if device_cache == "on" or (device_cache == "auto"
+                                    and 0 < nbytes <= (4 << 30)):
+            import jax
+
+            image_table = jax.device_put(dataset.features_nhwc_all())
+        batcher = Batcher(dataset, cfg["train"]["batch_size"],
+                          load_images=image_table is None)
+        entries = predictor.predict_dataset_submission(
+            dataset, batcher, image_table=image_table
+        )
         with open(args.submission, "w") as fd:
             json.dump(entries, fd)
         print(f"wrote {len(entries)} answers to {args.submission}")

@@ -132,3 +132,26 @@ def test_max_question_length_from_checkpoint(setup, tmp_path):
         num_tokens=ds.num_tokens,
     )
     assert legacy.max_question_length == 23
+
+
+def test_submission_with_device_image_table(setup):
+    """tpu.device_image_cache in the submission path: batches carry row
+    indices, the gather runs inside the jitted forward, and the answers
+    are identical to the per-batch image path."""
+    import jax as jax_mod
+
+    from predict import Predictor
+
+    cfg, profile, ds, root = setup
+    predictor = Predictor(
+        cfg, checkpoint_path=f"{root}/model.ckpt",
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    ref = predictor.predict_dataset_submission(ds, Batcher(ds, batch_size=5))
+
+    table = jax_mod.device_put(ds.features_nhwc_all())
+    out = predictor.predict_dataset_submission(
+        ds, Batcher(ds, batch_size=5, load_images=False), image_table=table
+    )
+    assert out == ref
