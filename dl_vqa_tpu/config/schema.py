@@ -119,8 +119,9 @@ CFG_SCHEMA: Dict[str, Any] = {
         "remat": bool,
         "grad_accum_steps": int,     # >1: microbatch gradient accumulation
         # 'auto' | 'on' | 'off': keep the image feature store resident on
-        # device; batches carry row indices, the step gathers on device
-        "device_image_cache": str,
+        # device; batches carry row indices, the step gathers on device.
+        # bool accepted because YAML reads bare on/off as booleans.
+        "device_image_cache": (str, bool),
         "checkpoint_backend": str,   # 'npz' (single file) | 'orbax' (async dir)
         "prefetch_depth": int,
         "use_pallas": bool,
@@ -170,5 +171,13 @@ def validate(
         elif expected is str:
             if not isinstance(value, str):
                 raise SchemaError(f"'{where}' must be a string, got {value!r}")
+        elif isinstance(expected, tuple):
+            # Union of allowed types (e.g. (str, bool) for flags whose
+            # YAML spelling 'on'/'off' parses as a boolean).
+            if not isinstance(value, expected):
+                names = "/".join(t.__name__ for t in expected)
+                raise SchemaError(
+                    f"'{where}' must be {names}, got {value!r}"
+                )
         else:  # pragma: no cover - schema authoring error
             raise SchemaError(f"Bad schema entry at '{where}': {expected!r}")

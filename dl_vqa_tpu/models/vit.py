@@ -211,17 +211,24 @@ def _pipelined_blocks(layers, x, num_heads, dtype, use_pallas, dropout,
     else:
         stacked = stack_layers(list(layers))
 
-    def fn(layer, t):
+    def fn(layer, t, mb_index):
         layer = dict(layer)
         keys = layer.pop("_rngs", None)
-        rngs = (keys[0], keys[1]) if keys is not None else (None, None)
+        rngs = (None, None)
+        if keys is not None:
+            # Fold the microbatch number in so microbatches draw DISTINCT
+            # dropout masks (the stacked keys alone would repeat the same
+            # mask for every microbatch — they share shapes and keys).
+            rngs = (jax.random.fold_in(keys[0], mb_index),
+                    jax.random.fold_in(keys[1], mb_index))
         return apply_vit_block(layer, t, num_heads, dtype,
                                use_pallas=use_pallas, dropout=dropout,
                                train=train, rngs=rngs)
 
     xm = x.reshape((m, batch // m) + x.shape[1:])
     xm = pipeline_apply(fn, stacked, xm, ctx.mesh,
-                        stage_axis=ctx.stage_axis, data_axis=ctx.data_axis)
+                        stage_axis=ctx.stage_axis, data_axis=ctx.data_axis,
+                        with_index=True)
     return xm.reshape((batch,) + x.shape[1:])
 
 
@@ -235,8 +242,10 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
     (``tpu.mesh.stage``): identical block math (same ``apply_vit_block``
     and the same per-layer dropout site keys), microbatched over the
     stage axis. With dropout off the pipelined and sequential paths are
-    numerically identical up to reduction order; with dropout on, masks
-    are drawn per-microbatch shape, so streams differ (both valid)."""
+    numerically identical up to reduction order; with dropout on, each
+    microbatch folds its index into the layer keys (distinct masks per
+    microbatch), a different but equally valid stream than the
+    sequential full-batch draw."""
     from dl_vqa_tpu.models.vqa import _dropout, _site_rng
 
     batch, h, w, _ = images.shape

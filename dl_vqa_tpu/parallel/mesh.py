@@ -46,10 +46,10 @@ def make_mesh(
     if data == -1:
         data = len(devices) // (model * stage)
     n = data * model * stage
-    if n > len(devices):
+    if data < 1 or n > len(devices):
         raise ValueError(
-            f"mesh {data}x{model}x{stage} needs {n} devices, have "
-            f"{len(devices)}"
+            f"mesh {max(data, 0)}x{model}x{stage} needs "
+            f"{max(n, model * stage)} devices, have {len(devices)}"
         )
     if stage > 1:
         grid = np.asarray(devices[:n]).reshape(data, model, stage)

@@ -80,19 +80,24 @@ def stack_layers(layers: Sequence[Any]):
 
 
 def pipeline_apply(
-    layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    layer_fn: Callable[..., jnp.ndarray],
     stacked_layers: Any,
     x_microbatched: jnp.ndarray,
     mesh: Mesh,
     stage_axis: str = "stage",
     data_axis: Optional[str] = "data",
+    with_index: bool = False,
 ) -> jnp.ndarray:
     """Run ``L`` stacked layers as a ``S``-stage pipeline over microbatches.
 
     Args:
       layer_fn: applies ONE layer: ``fn(layer_params, x) -> x`` (same
         shape in and out). Per-layer extras (e.g. a dropout rng) belong
-        inside the stacked layer pytree.
+        inside the stacked layer pytree. With ``with_index=True`` the
+        signature is ``fn(layer_params, x, mb_index) -> x`` where
+        ``mb_index`` is the (traced int32) microbatch number riding the
+        ring alongside the activation — used e.g. to fold per-microbatch
+        dropout keys so microbatches don't share masks.
       stacked_layers: pytree with leading layer axis ``L`` (from
         :func:`stack_layers`); ``L`` must divide evenly into the mesh's
         ``S = mesh.shape[stage_axis]`` stages.
@@ -122,8 +127,10 @@ def pipeline_apply(
     def per_stage(local_layers, x_mb):
         stage = lax.axis_index(stage_axis)
 
-        def run_local(x):
+        def run_local(x, mb_index):
             def body(carry, layer):
+                if with_index:
+                    return layer_fn(layer, carry, mb_index), None
                 return layer_fn(layer, carry), None
 
             out, _ = lax.scan(body, x, local_layers)
@@ -132,14 +139,16 @@ def pipeline_apply(
         perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
 
         def tick(t, carry):
-            x_in, outputs = carry
+            x_in, idx_in, outputs = carry
             # Stage 0 feeds microbatch t (clamped in the drain phase —
             # those ticks' results never land anywhere).
-            feed = lax.dynamic_index_in_dim(
-                x_mb, jnp.clip(t, 0, num_micro - 1), keepdims=False
-            )
+            mb_t = jnp.clip(t, 0, num_micro - 1)
+            feed = lax.dynamic_index_in_dim(x_mb, mb_t, keepdims=False)
             inp = jnp.where(stage == 0, feed, x_in)
-            out = run_local(inp)
+            # The microbatch number rides the ring with its activation.
+            idx = jnp.where(stage == 0,
+                            jnp.asarray(mb_t, jnp.int32)[None], idx_in)
+            out = run_local(inp, idx[0])
             # The last stage commits microbatch t-(S-1) once it is real.
             out_idx = jnp.clip(t - (num_stages - 1), 0, num_micro - 1)
             valid = jnp.logical_and(stage == num_stages - 1,
@@ -151,10 +160,12 @@ def pipeline_apply(
                 outputs, jnp.where(valid, out, current), out_idx, 0
             )
             x_next = lax.ppermute(out, stage_axis, perm)
-            return (x_next, outputs)
+            idx_next = lax.ppermute(idx, stage_axis, perm)
+            return (x_next, idx_next, outputs)
 
-        init = (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb))
-        _, outputs = lax.fori_loop(
+        init = (jnp.zeros_like(x_mb[0]), jnp.zeros(1, jnp.int32),
+                jnp.zeros_like(x_mb))
+        _, _, outputs = lax.fori_loop(
             0, num_micro + num_stages - 1, tick, init
         )
         # Replicate the committed outputs from the last stage to all

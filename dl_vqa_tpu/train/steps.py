@@ -130,6 +130,12 @@ def make_train_step(
         if accum_steps == 1:
             (loss, score), grads = grads_of(state.params, batch, step_rng)
         else:
+            # The device image table is batch-INVARIANT: it must not be
+            # split into microbatches (its rows are a different axis than
+            # the batch; splitting would crash on non-divisible tables or
+            # silently clamp the gathers).
+            batch = dict(batch)
+            image_table = batch.pop("image_table", None)
             batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
             if batch_size % accum_steps != 0:
                 raise ValueError(
@@ -143,6 +149,8 @@ def make_train_step(
             def body(carry, xs):
                 g_acc, l_acc, s_acc = carry
                 mb, idx = xs
+                if image_table is not None:
+                    mb = dict(mb, image_table=image_table)
                 (l, s), g = grads_of(
                     state.params, mb, jax.random.fold_in(step_rng, idx)
                 )

@@ -94,11 +94,19 @@ def evaluate_hw2(overrides=()) -> float:
     params = load_params(profile["paths"]["pretrained_model_path"], template)
 
     mesh_cfg = cfg["tpu"]["mesh"]
-    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"])
+    stage = mesh_cfg.get("stage", 1)
+    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage)
+    pipeline_ctx = None
+    if stage > 1:
+        from dl_vqa_tpu.parallel.pipeline import PipelineContext
+
+        micro = cfg["tpu"].get("pipeline_microbatches", 0) or stage
+        pipeline_ctx = PipelineContext(mesh, num_microbatches=micro)
     compute_dtype = jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16" \
         else jnp.float32
 
-    eval_step = make_eval_step(model_cfg, compute_dtype, with_breakdown=True)
+    eval_step = make_eval_step(model_cfg, compute_dtype, with_breakdown=True,
+                               pipeline_ctx=pipeline_ctx)
     if online_images:
         from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher
 
@@ -118,21 +126,11 @@ def evaluate_hw2(overrides=()) -> float:
         batcher = OnlineBatcher(val_dataset, cfg["train"]["batch_size"], loader)
         image_table = None
     else:
-        # Device-resident image cache (tpu.device_image_cache): upload
-        # the feature store once, ship row indices per batch (see main.py).
-        device_cache = cfg["tpu"].get("device_image_cache", "auto")
-        image_table = None
-        nbytes = val_dataset.image_store_nbytes
-        if device_cache == "on" or (device_cache == "auto"
-                                    and 0 < nbytes <= (4 << 30)):
-            from dl_vqa_tpu.parallel import replicated
+        from dl_vqa_tpu.data.device_cache import plan_image_tables
 
-            logger.write(
-                f"Device-resident image cache: {nbytes / 2**20:.0f} MiB"
-            )
-            image_table = jax.device_put(
-                val_dataset.features_nhwc_all(), replicated(mesh)
-            )
+        image_table = plan_image_tables(
+            cfg, {"val": val_dataset}, mesh=mesh, log=logger.write,
+        )["val"]
         batcher = Batcher(val_dataset, cfg["train"]["batch_size"],
                           load_images=image_table is None)
     score, _, per_type = evaluate(

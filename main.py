@@ -161,40 +161,16 @@ def main(cfg: dict) -> float:
 
     # Device-resident image cache (tpu.device_image_cache): upload the
     # whole fp16 feature store once and ship only row indices per batch
-    # (the step gathers on device). On relay-backed runtimes the
-    # per-batch 147 MiB host->device image transfer (~40 MB/s) dominates
-    # the end-to-end step; the one-time upload removes it. 'auto'
-    # enables it when the tables fit a conservative HBM budget.
-    device_cache = cfg["tpu"].get("device_image_cache", "auto")
-    train_image_table = eval_image_table = None
-    if not online_images and device_cache != "off":
-        from dl_vqa_tpu.parallel import replicated
+    # (the step gathers on device) — see dl_vqa_tpu/data/device_cache.py
+    # for the shared policy and docs/PERF_NOTES.md for the measurement.
+    from dl_vqa_tpu.data.device_cache import plan_image_tables
 
-        budget = 4 << 30
-        total = (train_dataset.image_store_nbytes
-                 + val_dataset.image_store_nbytes)
-        if device_cache == "on" or (device_cache == "auto"
-                                    and 0 < total <= budget):
-            logger.write(
-                f"Device-resident image cache: uploading "
-                f"{total / 2**20:.0f} MiB of image features"
-            )
-            rep = replicated(mesh)
-            train_image_table = jax.device_put(
-                train_dataset.features_nhwc_all(), rep
-            )
-            if (val_dataset.image_path == train_dataset.image_path):
-                eval_image_table = train_image_table
-            else:
-                eval_image_table = jax.device_put(
-                    val_dataset.features_nhwc_all(), rep
-                )
-        elif device_cache == "auto":
-            logger.write(
-                f"Image store ({total / 2**20:.0f} MiB) exceeds the "
-                "device-cache budget; using per-batch host transfer "
-                "(tpu.device_image_cache=on to force)"
-            )
+    tables = plan_image_tables(
+        cfg, {"train": train_dataset, "val": val_dataset},
+        mesh=mesh, log=logger.write,
+    )
+    train_image_table = tables["train"]
+    eval_image_table = tables["val"]
 
     if online_images:
         from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher

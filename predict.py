@@ -163,7 +163,6 @@ class Predictor:
 
         from dl_vqa_tpu.data.pipeline import prefetch_to_device
 
-        forward = self._forward
         if image_table is not None:
             import jax
 
@@ -239,16 +238,11 @@ def main(argv=None) -> int:
                 data_paths=profile["val_paths"], other_paths=profile["paths"]
             )
         )
-        # Device-resident image cache (tpu.device_image_cache, same
-        # policy as main.py/evaluate_vqa.py).
-        device_cache = cfg["tpu"].get("device_image_cache", "auto")
-        image_table = None
-        nbytes = dataset.image_store_nbytes
-        if device_cache == "on" or (device_cache == "auto"
-                                    and 0 < nbytes <= (4 << 30)):
-            import jax
+        from dl_vqa_tpu.data.device_cache import plan_image_tables
 
-            image_table = jax.device_put(dataset.features_nhwc_all())
+        image_table = plan_image_tables(
+            cfg, {"val": dataset}, log=print,
+        )["val"]
         batcher = Batcher(dataset, cfg["train"]["batch_size"],
                           load_images=image_table is None)
         entries = predictor.predict_dataset_submission(

@@ -52,3 +52,52 @@ def test_flatten_expands_lists():
 def test_select():
     cfg = cfg_mod.compose("config")
     assert cfg_mod.select(cfg, "train.text.question_features") == 1024
+
+
+def test_device_image_cache_accepts_yaml_booleans():
+    """`tpu.device_image_cache=on` parses as YAML True; the schema and
+    the policy helper both accept it (and `off` likewise)."""
+    from dl_vqa_tpu import config as config_mod
+    from dl_vqa_tpu.data.device_cache import cache_mode
+
+    cfg = config_mod.compose(
+        "config", overrides=["tpu.device_image_cache=on"]
+    )
+    assert cfg["tpu"]["device_image_cache"] is True
+    assert cache_mode(cfg) == "on"
+    cfg = config_mod.compose(
+        "config", overrides=["tpu.device_image_cache=off"]
+    )
+    assert cache_mode(cfg) == "off"
+    assert cache_mode({"tpu": {"device_image_cache": "auto"}}) == "auto"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="device_image_cache"):
+        cache_mode({"tpu": {"device_image_cache": "maybe"}})
+
+
+def test_shared_image_store_counted_once(tmp_path):
+    """Two datasets sharing one processed_imgs file count once against
+    the device-cache budget and share one uploaded table."""
+    from dl_vqa_tpu.data import synthetic
+    from dl_vqa_tpu.data.dataset import VQADataset
+    from dl_vqa_tpu.data import device_cache
+
+    profile = synthetic.make_synthetic_corpus(
+        str(tmp_path / "c"), n_train=8, n_val=4, n_images=3, image_size=32,
+    )
+    ds_a = VQADataset(data_paths=profile["train_paths"],
+                      other_paths=profile["paths"])
+    # Second dataset pointed at the SAME image cache file.
+    shared_paths = dict(profile["val_paths"],
+                        processed_imgs=profile["train_paths"]
+                        ["processed_imgs"])
+    ds_b = VQADataset(data_paths=shared_paths, other_paths=profile["paths"])
+
+    logs = []
+    tables = device_cache.plan_image_tables(
+        {"tpu": {"device_image_cache": "on"}},
+        {"a": ds_a, "b": ds_b}, log=logs.append,
+    )
+    assert tables["a"] is tables["b"]          # one upload, shared
+    nbytes = ds_a.image_store_nbytes
+    assert f"{nbytes / 2**20:.0f} MiB" in logs[0]  # counted once

@@ -284,3 +284,26 @@ def test_pipeline_rejects_cnn_encoder(rng):
     with pytest.raises(ValueError, match="encoder=vit"):
         vqa.apply(params, cfg, batch["images"], batch["questions"],
                   batch["lengths"], train=False, pipeline_ctx=ctx)
+
+
+def test_pipeline_with_index_delivers_microbatch_number(rng):
+    """with_index=True: each microbatch's fn calls see the microbatch
+    NUMBER riding the ring (the basis for per-microbatch dropout keys)."""
+    layers = _mlp_layers(rng, 4, 8)
+    mesh = make_pipeline_mesh(data=1, stage=2)
+    x = jnp.asarray(rng.standard_normal((3, 2, 8)), dtype=jnp.float32)
+
+    def fn(layer, t, mb_index):
+        return t * 0.0 + mb_index.astype(jnp.float32)
+
+    out = pipeline_apply(fn, stack_layers(layers), x, mesh, with_index=True)
+    for m in range(3):
+        np.testing.assert_array_equal(np.asarray(out[m]),
+                                      np.full((2, 8), float(m)))
+
+
+def test_make_mesh_rejects_oversubscribed_stage():
+    from dl_vqa_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(data=-1, model=1, stage=16)  # 8 CPU devices available

@@ -451,3 +451,40 @@ def test_batcher_emits_image_rows_without_images(tmp_path):
     table = ds.features_nhwc_all()
     direct = ds.load_images_nhwc(batch["indices"])
     np.testing.assert_array_equal(table[batch["image_rows"]], direct)
+
+
+def test_grad_accum_composes_with_device_image_table():
+    """tpu.grad_accum_steps + tpu.device_image_cache: the table must not
+    be microbatch-split (its 5 rows don't divide by 2, and splitting
+    would clamp the gathers); the accumulated step matches the
+    unaccumulated one exactly at dropout=0."""
+    cfg = _tiny_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    rng_np = np.random.default_rng(0)
+    table = jnp.asarray(
+        rng_np.standard_normal((5, cfg.image_size, cfg.image_size, 3)),
+        dtype=jnp.float32,
+    )
+    rows = jnp.asarray(rng_np.integers(0, 5, 8), dtype=jnp.int32)
+    base = _tiny_batch(cfg, batch=8)
+    del base["images"]
+    batch = dict(base, image_table=table, image_rows=rows)
+    key = jax.random.PRNGKey(2)
+
+    def fresh():
+        return create_train_state(
+            jax.tree_util.tree_map(jnp.array, params), tx
+        )
+
+    ref_state, ref_m = make_train_step(
+        cfg, tx, compute_dtype=jnp.float32
+    )(fresh(), batch, key)
+    acc_state, acc_m = make_train_step(
+        cfg, tx, compute_dtype=jnp.float32, accum_steps=2
+    )(fresh(), batch, key)
+    assert np.isclose(float(acc_m["loss"]), float(ref_m["loss"]), rtol=1e-5)
+    for a, e in zip(jax.tree_util.tree_leaves(acc_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5, rtol=1e-4)
