@@ -119,6 +119,11 @@ def pipeline_apply(
         raise ValueError("need at least one microbatch")
 
     has_data = data_axis is not None and data_axis in mesh.axis_names
+    if has_data and x_microbatched.shape[1] % mesh.shape[data_axis] != 0:
+        raise ValueError(
+            f"microbatch size {x_microbatched.shape[1]} does not shard "
+            f"over the {mesh.shape[data_axis]}-way '{data_axis}' axis"
+        )
     batch_spec = P(None, data_axis) if has_data else P(None)
     layer_spec = jax.tree_util.tree_map(
         lambda _: P(stage_axis), stacked_layers

@@ -32,6 +32,7 @@ OV=(
   train.text.embedding_features=16 "train.image.num_channels=[3, 8, 16]"
   train.attention.hidden_dim=24 train.classifier.hidden_dim=32
 )
+printf '%s\n' "${OV[@]}" > "$WORK/overrides.txt"   # for the serve step
 
 echo "== 2. train =="
 python "$REPO/main.py" "${OV[@]}"
@@ -56,5 +57,33 @@ python "$REPO/predict.py" --submission "$WORK/results.json" "${OV[@]}" \
   main.small.paths.pretrained_model_path="$CKPT"
 python -c "import json; d = json.load(open('$WORK/results.json')); \
 print('submission entries:', len(d), 'first:', d[0])"
+
+echo "== 7. Hydra-style multirun sweep (round 2) =="
+python "$REPO/main.py" -m "${OV[@]}" train.image.stride=1,2
+
+echo "== 8. serving daemon (round 2): one request over HTTP =="
+python - "$REPO" "$WORK" "$CKPT" <<'PYEOF'
+import base64, glob, json, sys, threading, urllib.request
+repo, work, ckpt = sys.argv[1:4]
+sys.path.insert(0, repo)
+from dl_vqa_tpu import config as config_mod
+import serve
+overrides = [ln for ln in open(f"{work}/overrides.txt").read().split("\n") if ln]
+cfg = config_mod.compose("config_eval",
+                         overrides=overrides
+                         + [f"main.small.paths.pretrained_model_path={ckpt}"])
+httpd, service = serve.build_server(cfg, port=0)
+threading.Thread(target=httpd.serve_forever, daemon=True).start()
+img = sorted(glob.glob(f"{work}/data/val2014/*.jpg"))[0]
+payload = {"image_b64": base64.b64encode(open(img, "rb").read()).decode(),
+           "question": "what color is the cat?", "top_k": 3}
+req = urllib.request.Request(
+    f"http://127.0.0.1:{httpd.server_address[1]}/v1/answer",
+    data=json.dumps(payload).encode(),
+    headers={"Content-Type": "application/json"})
+with urllib.request.urlopen(req, timeout=60) as resp:
+    print("serve answers:", json.loads(resp.read())["answers"])
+service.stop(); httpd.shutdown()
+PYEOF
 
 echo "walkthrough complete: artifacts in $WORK"

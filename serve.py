@@ -65,10 +65,14 @@ class BatchingService:
     """Coalesces concurrent requests into bucketed jitted forwards."""
 
     def __init__(self, predictor, max_batch: int = 64,
-                 batch_window_ms: float = 5.0):
+                 batch_window_ms: float = 5.0,
+                 request_timeout_s: float = 300.0):
         self.predictor = predictor
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1e3
+        # Generous default: the FIRST request in each batch-size bucket
+        # pays XLA compilation (minutes on relay-backed runtimes).
+        self.request_timeout_s = request_timeout_s
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
@@ -80,10 +84,12 @@ class BatchingService:
     # ---------------------------------------------------------- request side
 
     def submit(self, image, question: str, top_k: int,
-               timeout_s: float = 30.0):
+               timeout_s: float = None):
         encoded, lengths = self.predictor.encode_questions([question])
         pending = _Pending(image, encoded[0], int(lengths[0]), top_k)
         self.queue.put(pending)
+        if timeout_s is None:
+            timeout_s = self.request_timeout_s
         if not pending.event.wait(timeout_s):
             raise TimeoutError("inference timed out")
         if pending.error:
@@ -243,7 +249,8 @@ def make_handler(service: BatchingService, predictor):
 
 
 def build_server(cfg, port: int = 0, max_batch: int = 64,
-                 batch_window_ms: float = 5.0, host: str = "127.0.0.1"):
+                 batch_window_ms: float = 5.0, host: str = "127.0.0.1",
+                 request_timeout_s: float = 300.0):
     """Returns (ThreadingHTTPServer, BatchingService); port 0 = ephemeral."""
     from predict import Predictor
 
@@ -254,7 +261,8 @@ def build_server(cfg, port: int = 0, max_batch: int = 64,
         vocab_path=profile["paths"]["vocab_path"],
     )
     service = BatchingService(predictor, max_batch=max_batch,
-                              batch_window_ms=batch_window_ms)
+                              batch_window_ms=batch_window_ms,
+                              request_timeout_s=request_timeout_s)
     server = ThreadingHTTPServer(
         (host, port), make_handler(service, predictor)
     )
@@ -270,6 +278,9 @@ def main(argv=None) -> int:
                         help="bind address (0.0.0.0 for off-host clients)")
     parser.add_argument("--max-batch", type=int, default=64)
     parser.add_argument("--batch-window-ms", type=float, default=5.0)
+    parser.add_argument("--request-timeout-s", type=float, default=300.0,
+                        help="per-request wait; the first request per "
+                             "batch bucket pays XLA compile")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -277,6 +288,7 @@ def main(argv=None) -> int:
     server, _service = build_server(
         cfg, port=args.port, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms, host=args.host,
+        request_timeout_s=args.request_timeout_s,
     )
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(max_batch={args.max_batch}, window={args.batch_window_ms}ms)")

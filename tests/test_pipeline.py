@@ -307,3 +307,11 @@ def test_make_mesh_rejects_oversubscribed_stage():
 
     with pytest.raises(ValueError, match="needs"):
         make_mesh(data=-1, model=1, stage=16)  # 8 CPU devices available
+
+
+def test_pipeline_rejects_nondivisible_microbatch(rng):
+    layers = _mlp_layers(rng, 4, 8)
+    mesh = make_pipeline_mesh(data=4, stage=2)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8)), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="does not shard"):
+        pipeline_apply(_mlp_fn, stack_layers(layers), x, mesh)
