@@ -236,12 +236,17 @@ class VQADataset:
 
     @property
     def image_store_nbytes(self) -> int:
-        """Size of the full image feature store in bytes (fp16), WITHOUT
-        loading it — the budget check for the device-resident cache."""
+        """Device-side size of the full image feature store in bytes,
+        WITHOUT loading it — the budget check for the device-resident
+        cache. The uploaded table is fp16 (``features_nhwc_all``
+        downcasts wider stores), so the budget charge is
+        ``min(itemsize, 2)`` bytes/element: a user-supplied float32
+        store costs 2 bytes/element on DEVICE (it is downcast — loudly,
+        see ``features_nhwc_all``) even though it is 4 on the host."""
         if not getattr(self, "has_image_rows", True):
             return 0
-        shape = self._h5_handle()["features"].shape
-        return int(np.prod(shape)) * 2
+        feats = self._h5_handle()["features"]
+        return int(np.prod(feats.shape)) * min(feats.dtype.itemsize, 2)
 
     def features_nhwc_all(self, dtype=np.float16) -> np.ndarray:
         """The WHOLE image store as one [N, H, W, 3] array — the host
@@ -252,6 +257,17 @@ class VQADataset:
         ~40 MB/s) dominates the end-to-end step; a one-time upload
         removes it entirely."""
         feats = self._features_view()
+        if np.dtype(feats.dtype).itemsize > np.dtype(dtype).itemsize:
+            import warnings
+
+            warnings.warn(
+                f"image feature store {self.image_path!r} is "
+                f"{np.dtype(feats.dtype).name}; downcasting to "
+                f"{np.dtype(dtype).name} for the device-resident table "
+                "(tpu.device_image_cache=off to keep full precision via "
+                "per-batch host transfer)",
+                stacklevel=2,
+            )
         return np.ascontiguousarray(
             np.asarray(feats[:], dtype=dtype).transpose(0, 2, 3, 1)
         )

@@ -28,6 +28,16 @@ __all__ = ["init_vit_image", "apply_vit_image"]
 
 def init_vit_image(key, image_size: int, patch_size: int, model_dim: int,
                    num_layers: int) -> Dict:
+    """ViT image-encoder params. The block stack is STORED stacked (every
+    leaf carries a leading ``[L, ...]`` layer axis) rather than as a list:
+    the pipeline executor's ``shard_map`` consumes exactly that form with
+    the leading axis sharded over 'stage', and stacking at init (outside
+    jit) is what lets the TrainState hold the stack with that placement —
+    stacking per-layer tp-sharded tensors INSIDE the jitted step forced
+    the SPMD partitioner into involuntary full rematerialization of the
+    concatenates (replicate-then-repartition every step). The sequential
+    path statically indexes the stack (``tree_map(lambda l: l[i], ...)``),
+    which XLA folds away — identical math and fusion to a list."""
     grid = image_size // patch_size
     keys = jax.random.split(key, 2 + 4 * num_layers)
     params: Dict = {
@@ -41,11 +51,11 @@ def init_vit_image(key, image_size: int, patch_size: int, model_dim: int,
         "final_ln": {
             "scale": jnp.ones(model_dim), "bias": jnp.zeros(model_dim)
         },
-        "layers": [],
     }
+    layers = []
     for layer in range(num_layers):
         k1, k2, k3, k4 = keys[2 + 4 * layer : 6 + 4 * layer]
-        params["layers"].append(
+        layers.append(
             {
                 "ln1": {"scale": jnp.ones(model_dim),
                         "bias": jnp.zeros(model_dim)},
@@ -58,6 +68,9 @@ def init_vit_image(key, image_size: int, patch_size: int, model_dim: int,
                                                   model_dim),
             }
         )
+    from dl_vqa_tpu.parallel.pipeline import stack_layers
+
+    params["layers"] = stack_layers(layers)
     return params
 
 
@@ -123,7 +136,12 @@ def _patch_embed_conv(x, embed: Dict, patch_size: int, dtype) -> jnp.ndarray:
     ViT eval step at batch 512; see docs/PERF_NOTES.md). The kernel is
     the SAME patch_embed weight viewed as [P, P, 3, D] — a row-major
     match with the matmul path's flattened (p_row, p_col, chan) ordering,
-    so the two paths are numerically interchangeable."""
+    so the two paths are equivalent up to one compute-dtype rounding of
+    the pre-bias activation: the conv emits its MXU f32 accumulator in
+    the compute dtype (no preferred_element_type — see below), while the
+    matmul path keeps f32 through the bias add, so in bf16 the paths can
+    differ by one bf16 ulp (exact in f32; asserted either way in
+    tests/test_variants.py::test_patch_embed_conv_matches_matmul)."""
     batch, h, w, _ = x.shape
     gh, gw = h // patch_size, w // patch_size
     kernel = embed["w"].astype(dtype).reshape(patch_size, patch_size, 3, -1)
@@ -190,9 +208,15 @@ def _pipelined_blocks(layers, x, num_heads, dtype, use_pallas, dropout,
                       train, rng, ctx):
     """Run the block stack through the GPipe executor: per-layer dropout
     keys ride inside the stacked layer pytree (same site ids as the
-    sequential loop), the batch splits into ``ctx.num_microbatches``."""
+    sequential loop), the batch splits into ``ctx.num_microbatches``.
+
+    ``layers`` arrives ALREADY stacked (leading ``[L, ...]`` axis, from
+    :func:`init_vit_image`) with device placements matching the
+    executor's in_specs — no parameter stacking happens inside the jitted
+    step. Only the (tiny, freshly-derived) dropout keys are stacked here;
+    they carry no prior sharding, so the partitioner places them freely."""
     from dl_vqa_tpu.models.vqa import _site_rng
-    from dl_vqa_tpu.parallel.pipeline import pipeline_apply, stack_layers
+    from dl_vqa_tpu.parallel.pipeline import pipeline_apply
 
     batch = x.shape[0]
     m = ctx.num_microbatches
@@ -200,16 +224,16 @@ def _pipelined_blocks(layers, x, num_heads, dtype, use_pallas, dropout,
         raise ValueError(
             f"batch {batch} does not split into {m} pipeline microbatches"
         )
+    num_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
     with_rng = train and dropout > 0.0 and rng is not None
     if with_rng:
-        stacked = stack_layers([
-            dict(layer, _rngs=jnp.stack([
-                _site_rng(rng, 21 + 2 * idx), _site_rng(rng, 22 + 2 * idx)
-            ]))
-            for idx, layer in enumerate(layers)
-        ])
+        stacked = dict(layers, _rngs=jnp.stack([
+            jnp.stack([_site_rng(rng, 21 + 2 * idx),
+                       _site_rng(rng, 22 + 2 * idx)])
+            for idx in range(num_layers)
+        ]))
     else:
-        stacked = stack_layers(list(layers))
+        stacked = dict(layers)
 
     def fn(layer, t, mb_index):
         layer = dict(layer)
@@ -273,7 +297,12 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
         x = _pipelined_blocks(params["layers"], x, num_heads, dtype,
                               kernel_ok, dropout, train, rng, pipeline_ctx)
     else:
-        for idx, layer in enumerate(params["layers"]):
+        stacked = params["layers"]
+        num_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        for idx in range(num_layers):
+            # Static index into the stacked [L, ...] params — XLA folds
+            # the slice, so this unrolls and fuses exactly like a list.
+            layer = jax.tree_util.tree_map(lambda l: l[idx], stacked)
             x = apply_vit_block(
                 layer, x, num_heads, dtype,
                 use_pallas=kernel_ok,

@@ -21,8 +21,20 @@ Mosaic constraints honored:
 * NT matmul via dimension_numbers (contract last dims), no transpose;
 * head outputs merged with a lane-aligned concat, single store.
 
-Backward recomputes through the XLA reference implementation (identical
-math), like the LSTM kernel.
+Two backward strategies are exported:
+
+* :func:`vit_attention_qkv_pallas` — backward recomputes through the XLA
+  reference implementation (identical math), like the LSTM kernel.
+  Eval-dispatch default.
+* :func:`vit_attention_qkv_pallas_fused_bwd` — same forward kernel, but
+  the backward is a SECOND Pallas kernel (flash-style recompute): per
+  image/head it recomputes the softmax from the saved qkv in VMEM and
+  emits the packed dqkv with five MXU matmuls — none of the ``[B,H,S,S]``
+  logits/exp/weights tensors, their cotangents, or the head-layout
+  transposes ever touch HBM. This is the training-path kernel; the
+  round-2 analysis projected an XLA-recompute backward to only tie XLA
+  precisely because it re-materializes those tensors — the kernel
+  doesn't.
 """
 
 from __future__ import annotations
@@ -32,7 +44,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["vit_attention_qkv_pallas", "vit_attention_qkv_reference"]
+__all__ = [
+    "vit_attention_qkv_pallas",
+    "vit_attention_qkv_pallas_fused_bwd",
+    "vit_attention_qkv_reference",
+]
 
 
 def vit_attention_qkv_reference(qkv, num_heads):
@@ -108,6 +124,72 @@ def _vit_attention_bwd(num_heads, interpret, residuals, g):
 vit_attention_qkv_pallas.defvjp(_vit_attention_fwd, _vit_attention_bwd)
 
 
+def _attention_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, chunk, num_heads,
+                          head, scale):
+    """Flash-style attention backward: recompute the softmax per
+    image/head from the saved packed qkv (all in VMEM), then the four
+    gradient matmuls. Layouts mirror the forward kernel: head slices at
+    64-aligned lane offsets, NT/TN contractions via dimension_numbers
+    (no transposes materialized). Writes packed dqkv [chunk, S, 3*H*D].
+
+    Math (z = q k^T * scale, w = softmax(z), out = w v, g = d(out)):
+      dv = w^T g
+      dw = g v^T
+      dz = w * (dw - rowsum(dw * w))
+      dq = scale * dz k ;  dk = scale * dz^T q
+    """
+    dim = num_heads * head
+    for i in range(chunk):
+        dqs, dks, dvs = [], [], []
+        for h in range(num_heads):
+            q = qkv_ref[i, :, h * head : (h + 1) * head]
+            k = qkv_ref[i, :, dim + h * head : dim + (h + 1) * head]
+            v = qkv_ref[i, :, 2 * dim + h * head : 2 * dim + (h + 1) * head]
+            g = g_ref[i, :, h * head : (h + 1) * head]
+            # Recompute the softmax exactly as the forward kernel did.
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            w = (e / denom).astype(qkv_ref.dtype)
+            # dv[k, d] = sum_q w[q, k] g[q, d]  (TN: contract dim 0)
+            dv = jax.lax.dot_general(
+                w, g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dw[q, k] = sum_d g[q, d] v[k, d]  (NT: contract last dims)
+            dw = jax.lax.dot_general(
+                g, v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # Softmax backward in f32 on the VPU.
+            wf = w.astype(jnp.float32)
+            dz = (wf * (dw - jnp.sum(dw * wf, axis=-1, keepdims=True))
+                  ).astype(qkv_ref.dtype)
+            # dq[q, d] = scale * sum_k dz[q, k] k[k, d]
+            dq = jax.lax.dot_general(
+                dz, k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            # dk[k, d] = scale * sum_q dz[q, k] q[q, d]  (TN)
+            dk = jax.lax.dot_general(
+                dz, q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqs.append(dq.astype(dqkv_ref.dtype))
+            dks.append(dk.astype(dqkv_ref.dtype))
+            dvs.append(dv.astype(dqkv_ref.dtype))
+        dqkv_ref[i] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
 def _pick_chunk(batch: int, seq: int, dim: int, itemsize: int) -> int:
     """Images per program: amortize grid overhead while keeping the
     double-buffered qkv/out blocks + softmax scratch inside VMEM."""
@@ -154,3 +236,78 @@ def _vit_attention_impl(qkv, num_heads, interpret=False):
         ),
         interpret=interpret,
     )(qkv)
+
+
+def _pick_chunk_bwd(batch: int, seq: int, dim: int, itemsize: int) -> int:
+    """Images per backward program: the backward holds ~5 live [S, S] f32
+    softmax/grad tensors per head plus three data blocks (qkv, g, dqkv),
+    so its chunk is chosen against the same 10 MiB working budget."""
+    budget = 10 * 1024 * 1024
+    s_pad = -(-seq // 128) * 128
+    score = s_pad * s_pad * 4 * 5  # s/e/w/dw/dz live per head (f32)
+    for chunk in (16, 8, 4, 2, 1):
+        if batch % chunk != 0:
+            continue
+        blocks = chunk * seq * (3 * dim + dim + 3 * dim) * itemsize
+        if 2 * blocks + 2 * score <= budget:
+            return chunk
+    return 1
+
+
+def _vit_attention_bwd_impl(qkv, g, num_heads, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, seq, three_hd = qkv.shape
+    dim = three_hd // 3
+    head = dim // num_heads
+    scale = 1.0 / (head ** 0.5)
+    chunk = _pick_chunk_bwd(batch, seq, dim, qkv.dtype.itemsize)
+
+    kernel = functools.partial(
+        _attention_bwd_kernel, chunk=chunk, num_heads=num_heads, head=head,
+        scale=scale,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // chunk,),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, three_hd), qkv.dtype),
+        in_specs=[
+            pl.BlockSpec((chunk, seq, three_hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, seq, dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, seq, three_hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            # 5 matmuls of 2*S*S*D flops per (image, head).
+            flops=10 * batch * num_heads * seq * seq * head,
+            bytes_accessed=7 * batch * seq * dim * qkv.dtype.itemsize,
+            transcendentals=batch * num_heads * seq * seq,
+        ),
+        interpret=interpret,
+    )(qkv, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def vit_attention_qkv_pallas_fused_bwd(qkv, num_heads, interpret=False):
+    """Same forward kernel as :func:`vit_attention_qkv_pallas`, but the
+    backward is a Pallas flash-recompute kernel (residual = packed qkv
+    only; no [B,H,S,S] tensor ever reaches HBM in either direction).
+    Training-path dispatch — see models/vit.py."""
+    return _vit_attention_impl(qkv, num_heads, interpret)
+
+
+def _vit_attention_fused_fwd(qkv, num_heads, interpret):
+    return _vit_attention_impl(qkv, num_heads, interpret), (qkv,)
+
+
+def _vit_attention_fused_bwd(num_heads, interpret, residuals, g):
+    (qkv,) = residuals
+    return (_vit_attention_bwd_impl(qkv, g, num_heads, interpret),)
+
+
+vit_attention_qkv_pallas_fused_bwd.defvjp(
+    _vit_attention_fused_fwd, _vit_attention_fused_bwd
+)

@@ -140,6 +140,15 @@ def param_shardings(params: Dict, mesh: Mesh):
             walked = [walk(v, f"{prefix}/{i}") for i, v in enumerate(tree)]
             return type(tree)(walked) if isinstance(tree, tuple) else walked
         spec = _spec_for(prefix, tree)
+        if "/image/layers/" in prefix:
+            # The ViT block stack is stored stacked ([L, ...] leading
+            # layer axis, models/vit.py:init_vit_image); shard that axis
+            # over 'stage' when the mesh pipelines, so the params already
+            # sit where the GPipe shard_map's in_specs want them (no
+            # in-jit restack/reshard — the source of the SPMD
+            # involuntary-rematerialization warnings).
+            lead = "stage" if "stage" in mesh.axis_names else None
+            spec = P(lead, *spec)
         if not _divisible(tree, spec, mesh):
             if int(np.prod(tree.shape)) >= _WARN_FALLBACK_ELEMENTS:
                 fallbacks.append((prefix, tuple(tree.shape), spec))

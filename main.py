@@ -257,6 +257,10 @@ def multirun_main(config_name: str, args, runner=None,
         del args[at:at + 2]
 
     def _is_choice(a):
+        if "=" not in a:
+            raise SystemExit(
+                f"multirun (-m) overrides must be key=value; got {a!r}"
+            )
         v = a.split("=", 1)[1].strip()
         return "," in v and not v.startswith(("[", "{"))
 

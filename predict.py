@@ -60,10 +60,24 @@ class Predictor:
         )
         # Encode questions at the length the checkpoint was trained with
         # (stored in npz metadata); 23 is only the legacy fallback for
-        # reference .pth checkpoints / pre-metadata saves.
-        self.max_question_length = 23
+        # reference .pth checkpoints / pre-metadata saves — and that
+        # fallback must be LOUD: silently truncating questions at the
+        # wrong length degrades accuracy with no visible symptom.
         if meta.get("max_question_length"):
             self.max_question_length = int(meta["max_question_length"])
+        else:
+            import warnings
+
+            self.max_question_length = 23
+            warnings.warn(
+                f"checkpoint {checkpoint_path!r} carries no "
+                "max_question_length metadata (reference .pth import or "
+                "pre-metadata save); assuming the reference default of 23 "
+                "tokens. Questions longer than that will be truncated — "
+                "re-save the checkpoint with utils.checkpoint.save_params "
+                "to record the trained length.",
+                stacklevel=2,
+            )
         compute_dtype = (
             jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16"
             else jnp.float32

@@ -75,7 +75,8 @@ class BatchingService:
         self.request_timeout_s = request_timeout_s
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.lock = threading.Lock()
-        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "errors": 0, "timeouts": 0}
         self.latencies_ms: List[float] = []
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -87,15 +88,20 @@ class BatchingService:
                timeout_s: float = None):
         encoded, lengths = self.predictor.encode_questions([question])
         pending = _Pending(image, encoded[0], int(lengths[0]), top_k)
+        # Count at ENQUEUE so /metrics reflects offered load — a request
+        # that later times out or errors must not vanish from the counts.
+        with self.lock:
+            self.stats["requests"] += 1
         self.queue.put(pending)
         if timeout_s is None:
             timeout_s = self.request_timeout_s
         if not pending.event.wait(timeout_s):
+            with self.lock:
+                self.stats["timeouts"] += 1
             raise TimeoutError("inference timed out")
         if pending.error:
             raise RuntimeError(pending.error)
         with self.lock:
-            self.stats["requests"] += 1
             self.latencies_ms.append(
                 (time.perf_counter() - pending.enqueued_at) * 1e3
             )
@@ -168,6 +174,8 @@ class BatchingService:
                     self.stats["batches"] += 1
                     self.stats["batched_requests"] += n
             except Exception as exc:  # noqa: BLE001 - report to callers
+                with self.lock:
+                    self.stats["errors"] += len(batch)
                 for p in batch:
                     p.error = f"{type(exc).__name__}: {exc}"
                     p.event.set()

@@ -295,6 +295,57 @@ def test_vit_attention_qkv_kernel_matches_reference(b, s, h, d, rng):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("b,s,h,d", [(4, 196, 4, 64), (2, 50, 2, 64)])
+def test_vit_attention_fused_bwd_matches_reference(b, s, h, d, rng):
+    """The Pallas flash backward (training-path kernel) must produce the
+    same dqkv as the XLA reference VJP, on a NON-uniform cotangent (sum
+    of squares exercises all of dq/dk/dv asymmetrically)."""
+    from dl_vqa_tpu.ops.vit_attention_pallas import (
+        vit_attention_qkv_pallas_fused_bwd,
+        vit_attention_qkv_reference,
+    )
+
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d)),
+                      dtype=jnp.float32)
+    out = vit_attention_qkv_pallas_fused_bwd(qkv, h, True)
+    ref = vit_attention_qkv_reference(qkv, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    g_k = jax.grad(
+        lambda t: jnp.sum(vit_attention_qkv_pallas_fused_bwd(t, h, True) ** 2)
+    )(qkv)
+    g_r = jax.grad(
+        lambda t: jnp.sum(vit_attention_qkv_reference(t, h) ** 2)
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_vit_attention_fused_bwd_vjp_cotangent(rng):
+    """Direct VJP check with an arbitrary cotangent (not derived from a
+    scalar loss) — the raw dqkv path the train step actually runs."""
+    from dl_vqa_tpu.ops.vit_attention_pallas import (
+        vit_attention_qkv_pallas_fused_bwd,
+        vit_attention_qkv_reference,
+    )
+
+    b, s, h, d = 2, 196, 2, 64
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d)),
+                      dtype=jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, s, h * d)),
+                      dtype=jnp.float32)
+    _, vjp_k = jax.vjp(
+        lambda t: vit_attention_qkv_pallas_fused_bwd(t, h, True), qkv
+    )
+    _, vjp_r = jax.vjp(
+        lambda t: vit_attention_qkv_reference(t, h), qkv
+    )
+    np.testing.assert_allclose(np.asarray(vjp_k(cot)[0]),
+                               np.asarray(vjp_r(cot)[0]),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_vit_attention_kernel_head_packing_is_not_mixed(rng):
     """Each head must attend independently: zeroing one head's qkv lanes
     must not change the other heads' outputs."""

@@ -116,8 +116,14 @@ def test_pipeline_vit_blocks(rng):
         lambda layer, t: apply_vit_block(layer, t, heads)
     )
     mesh = make_pipeline_mesh(data=1, stage=2)
-    out = pipeline_apply(fn, stack_layers(params["layers"]), x, mesh)
-    ref = _sequential(params["layers"], x, fn)
+    # init_vit_image stores the block stack already stacked ([L, ...]).
+    stacked = params["layers"]
+    layer_list = [
+        jax.tree_util.tree_map(lambda t: t[i], stacked)
+        for i in range(num_layers)
+    ]
+    out = pipeline_apply(fn, stacked, x, mesh)
+    ref = _sequential(layer_list, x, fn)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 

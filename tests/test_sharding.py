@@ -206,8 +206,10 @@ def test_tensor_parallel_vit_transformer_eval_matches():
     mesh = make_mesh(data=4, model=2)
     psh = param_shardings(params, mesh)
     # the megatron rules must actually bite on the vit/transformer layers
-    assert psh["image"]["layers"][0]["qkv"]["w"].spec == P(None, "model")
-    assert psh["image"]["layers"][0]["out"]["w"].spec == P("model", None)
+    # (the ViT stack is stored stacked: leading [L] layer axis, sharded
+    # over 'stage' only when the mesh has that axis)
+    assert psh["image"]["layers"]["qkv"]["w"].spec == P(None, None, "model")
+    assert psh["image"]["layers"]["out"]["w"].spec == P(None, "model", None)
     assert psh["text"]["layers"][0]["mlp_in"]["w"].spec == P(None, "model")
 
     params_tp = jax.device_put(params, psh)

@@ -145,6 +145,11 @@ def test_multirun_main_requires_choice():
 
     with pytest.raises(SystemExit, match="comma-valued"):
         main_mod.multirun_main("config", ["main.seed=1"], runner=lambda o: 0.0)
+    # An override with no '=' (stray flag, misplaced config name) must be
+    # a clean usage error naming the argument, not an IndexError.
+    with pytest.raises(SystemExit, match="stray_flag"):
+        main_mod.multirun_main("config", ["stray_flag", "a=1,2"],
+                               runner=lambda o: 0.0)
 
 
 def test_space_size_without_materialization():

@@ -268,3 +268,31 @@ def test_patch_embed_conv_matches_matmul():
     gb = jax.grad(lambda w: loss(_patch_embed_matmul, w))(embed["w"])
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_patch_embed_conv_matches_matmul_bf16():
+    """In bf16 the conv path emits its accumulator in compute dtype
+    before the bias add while the matmul path keeps f32 through it (see
+    the _patch_embed_conv docstring), so the paths agree only to ~one
+    bf16 ulp of the pre-bias activation — assert that bound holds."""
+    from dl_vqa_tpu.models.vit import (
+        _patch_embed_conv,
+        _patch_embed_matmul,
+        init_vit_image,
+    )
+
+    params = init_vit_image(jax.random.PRNGKey(0), image_size=32,
+                            patch_size=8, model_dim=16, num_layers=1)
+    embed = params["patch_embed"]
+    # apply_vit_image casts images to the compute dtype before the embed.
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (3, 32, 32, 3)
+    ).astype(jnp.bfloat16)
+
+    a = _patch_embed_conv(x, embed, 8, jnp.bfloat16).astype(np.float32)
+    b = _patch_embed_matmul(x, embed, 8, jnp.bfloat16).astype(np.float32)
+    # bf16 has 8 mantissa bits -> relative spacing 2^-8; allow a couple
+    # of ulps of the activation scale.
+    scale = float(np.max(np.abs(np.asarray(b)))) + 1e-6
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2 * scale / 256, rtol=2 / 256)
