@@ -109,6 +109,10 @@ CFG_SCHEMA: Dict[str, Any] = {
         "compute_dtype": str,        # 'float32' | 'bfloat16'
         "online_images": bool,       # decode JPEGs on the fly (no h5 cache)
         "native_loader": bool,       # C++ decode pipeline (native/)
+        # offline h5 cache builder backend: 'auto' (native iff .so present
+        # and >1 core — measured, see docs/PERF_NOTES.md "Offline cache
+        # builder") | 'native' | 'pil' (serial, byte-identical to ref)
+        "image_builder_backend": str,
         "mesh": {
             "data": int,             # -1 = all remaining devices
             "model": int,

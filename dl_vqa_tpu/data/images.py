@@ -30,6 +30,7 @@ __all__ = [
     "IMAGENET_STD",
     "preprocess_pil_image",
     "preprocess_images",
+    "normalize_uint8_chw",
     "coco_id_from_filename",
 ]
 
@@ -80,6 +81,15 @@ def list_jpgs(image_dir: str) -> List[str]:
     return [f for f in os.listdir(image_dir) if f.endswith(".jpg")]
 
 
+def normalize_uint8_chw(u8_nhwc: np.ndarray) -> np.ndarray:
+    """Vectorized tail of the reference transform: uint8 HWC (post
+    resize+crop) -> float32 normalized CHW. Shared by both builder
+    backends so they differ only in the decode/resample stage."""
+    arr = u8_nhwc.astype(np.float32) / 255.0
+    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    return np.ascontiguousarray(arr.transpose(0, 3, 1, 2))
+
+
 def preprocess_images(
     other_paths: dict,
     data_paths: dict,
@@ -87,12 +97,33 @@ def preprocess_images(
     central_fraction: float,
     processed_path: str,
     log=print,
+    backend: str = "auto",
+    batch_size: int = 256,
+    num_threads: int = 0,
 ) -> int:
     """Scan a COCO image dir and write the float16 h5 cache.
 
     Returns the number of images written. Opens the h5 file with an
     explicit ``'w'`` mode (the reference relied on a legacy h5py default,
     ref ``preprocess_images.py:39``).
+
+    ``backend`` selects the decode/resample stage:
+
+    * ``"native"`` — the C++ thread pool (``native/image_pipeline.cc``):
+      batches of ``batch_size`` decoded/resized/cropped across
+      ``num_threads`` threads (0 -> ``os.cpu_count()``), normalized
+      vectorized, written as h5 slabs. This kills the reference's
+      serial "couple of hours" build (ref ``README.md:14``). Numerics:
+      within +-1 uint8 LSB of PIL pre-normalize (float vs fixed-point
+      resampling taps), below the cache's own fp16 quantization.
+    * ``"pil"`` — the original serial loop, byte-identical to the
+      reference cache (torchvision-PIL arithmetic; the parity golden in
+      ``tests/fixtures/image_transform_golden.npz`` pins it).
+    * ``"auto"`` — native when the .so is available AND the host has
+      >1 core; else PIL. Measured on the 1-core dev box: PIL 91
+      images/s vs native 41 (PIL's SIMD libjpeg-turbo + fixed-point
+      resampler wins single-threaded; the pool's win is parallelism) —
+      see docs/PERF_NOTES.md "Offline cache builder".
     """
     import h5py
     from PIL import Image
@@ -100,19 +131,54 @@ def preprocess_images(
     image_dir = os.path.join(other_paths["base_path"], data_paths["imgs"])
     filenames = list_jpgs(image_dir)
     n = len(filenames)
-    log(f"Processing {n} images from {image_dir}")
+
+    if backend not in ("auto", "native", "pil"):
+        raise ValueError(f"unknown builder backend: {backend!r}")
+    use_native = False
+    if backend in ("auto", "native"):
+        from dl_vqa_tpu.data import native_loader
+
+        use_native = native_loader.native_available()
+        if backend == "native" and not use_native:
+            raise RuntimeError(
+                "backend='native' requested but native/libvqa_image.so is "
+                "unavailable (build with `make -C native`)"
+            )
+        if backend == "auto" and (os.cpu_count() or 1) < 2:
+            use_native = False  # measured: PIL wins single-threaded
+    log(f"Processing {n} images from {image_dir} "
+        f"({'native thread pool' if use_native else 'PIL serial'})")
 
     with h5py.File(processed_path, "w", libver="latest") as fd:
         features = fd.create_dataset(
             "features", shape=(n, 3, image_size, image_size), dtype="float16"
         )
         ids = fd.create_dataset("ids", shape=(n,), dtype="int32")
-        for i, filename in enumerate(filenames):
-            if i % 1000 == 0:
-                log(f"Completed {i} images")
-            with Image.open(os.path.join(image_dir, filename)) as img:
-                features[i] = preprocess_pil_image(
-                    img, image_size, central_fraction
+        if use_native:
+            from dl_vqa_tpu.data.native_loader import process_paths
+
+            threads = num_threads or (os.cpu_count() or 1)
+            for i0 in range(0, n, batch_size):
+                slab = filenames[i0 : i0 + batch_size]
+                u8 = process_paths(
+                    [os.path.join(image_dir, f) for f in slab],
+                    image_size, central_fraction, threads,
+                )
+                features[i0 : i0 + len(slab)] = normalize_uint8_chw(
+                    u8
                 ).astype(np.float16)
-            ids[i] = coco_id_from_filename(filename)
+                ids[i0 : i0 + len(slab)] = [
+                    coco_id_from_filename(f) for f in slab
+                ]
+                if (i0 // batch_size) % 4 == 0:
+                    log(f"Completed {i0} images")
+        else:
+            for i, filename in enumerate(filenames):
+                if i % 1000 == 0:
+                    log(f"Completed {i} images")
+                with Image.open(os.path.join(image_dir, filename)) as img:
+                    features[i] = preprocess_pil_image(
+                        img, image_size, central_fraction
+                    ).astype(np.float16)
+                ids[i] = coco_id_from_filename(filename)
     return n

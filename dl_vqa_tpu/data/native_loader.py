@@ -26,7 +26,12 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["load_native_library", "NativeJpegLoader", "native_available"]
+__all__ = [
+    "load_native_library",
+    "NativeJpegLoader",
+    "native_available",
+    "process_paths",
+]
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -69,6 +74,34 @@ def load_native_library(build_if_missing: bool = True):
 
 def native_available() -> bool:
     return load_native_library() is not None
+
+
+def process_paths(paths, image_size: int, central_fraction: float,
+                  num_threads: int) -> np.ndarray:
+    """Decode+resize+crop an explicit list of JPEG paths through the C++
+    thread pool -> uint8 [n, size, size, 3] (HWC, pre-normalize), in input
+    order. Raises if the library is unavailable or any image fails.
+
+    This is the batch primitive the offline cache builder
+    (:func:`dl_vqa_tpu.data.images.preprocess_images`) runs on; the
+    id-keyed :class:`NativeJpegLoader` below serves the online path.
+    """
+    lib = load_native_library()
+    if lib is None:
+        raise RuntimeError(
+            "native image library unavailable; build with `make -C native`"
+        )
+    n = len(paths)
+    out = np.empty((n, image_size, image_size, 3), dtype=np.uint8)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    failures = lib.vqa_process_batch(
+        arr, n, image_size, central_fraction,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads,
+    )
+    if failures:
+        raise IOError(f"{failures} image(s) failed to decode")
+    return out
 
 
 class NativeJpegLoader:

@@ -168,6 +168,10 @@ def make_synthetic_corpus(
             central_fraction=central_fraction,
             processed_path=profile[f"{split}_paths"]["processed_imgs"],
             log=lambda *_: None,
+            # PIL pinned: fixture bytes must not depend on whether the
+            # native .so happens to be buildable on this machine (the
+            # exact-transform test and cross-machine goldens rely on it).
+            backend="pil",
         )
 
     vocab_mod.create_vocab(

@@ -74,7 +74,18 @@ def init_vit_image(key, image_size: int, patch_size: int, model_dim: int,
     return params
 
 
-def _attention(x, layer, num_heads, dtype, use_pallas=False):
+# Training-path attention-kernel default. ON by measurement (v5e,
+# batch 512, full fused train step): the Pallas flash backward
+# (ops/vit_attention_pallas.py:vit_attention_qkv_pallas_fused_bwd)
+# took the ViT train step 6,993.5 -> 8,968.6 samples/s/chip (+28%) —
+# see docs/PERF_NOTES.md "Round-3 flash-attention backward". The
+# round-2 recompute-through-XLA backward had measured -9%; keeping the
+# whole [S, S] recompute in VMEM is what flipped the sign.
+TRAIN_ATTENTION_KERNEL = True
+
+
+def _attention(x, layer, num_heads, dtype, use_pallas=False,
+               fused_bwd=False):
     """Self-attention with the weights tensor kept in the compute dtype.
 
     At 196 patch tokens x batch 512 the [B, H, S, S] weights are the
@@ -97,9 +108,12 @@ def _attention(x, layer, num_heads, dtype, use_pallas=False):
     if use_pallas and jax.default_backend() == "tpu" and head % 64 == 0:
         from dl_vqa_tpu.ops.vit_attention_pallas import (
             vit_attention_qkv_pallas,
+            vit_attention_qkv_pallas_fused_bwd,
         )
 
-        out = vit_attention_qkv_pallas(qkv.astype(dtype), num_heads)
+        kernel = (vit_attention_qkv_pallas_fused_bwd if fused_bwd
+                  else vit_attention_qkv_pallas)
+        out = kernel(qkv.astype(dtype), num_heads)
         return (
             jnp.dot(out, layer["out"]["w"].astype(dtype),
                     preferred_element_type=jnp.float32)
@@ -177,18 +191,21 @@ def _patch_embed_matmul(x, embed: Dict, patch_size: int, dtype) -> jnp.ndarray:
 def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
                     dtype=jnp.float32, use_pallas: bool = False,
                     dropout: float = 0.0, train: bool = False,
-                    rngs=(None, None)) -> jnp.ndarray:
+                    rngs=(None, None), fused_bwd: bool = False) -> jnp.ndarray:
     """One pre-LN transformer block (attention + MLP with residuals).
 
     Shared by the sequential stack in :func:`apply_vit_image` and the
     pipeline-parallel executor (:func:`dl_vqa_tpu.parallel.pipeline.
     pipeline_apply`) — identical math in both schedules. ``rngs`` are the
-    two residual-dropout keys (attention site, MLP site)."""
+    two residual-dropout keys (attention site, MLP site);
+    ``fused_bwd`` selects the Pallas flash backward for the attention
+    kernel (training path)."""
     from dl_vqa_tpu.models.vqa import _dropout
 
     hld = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
     att = _attention(hld, layer, num_heads, dtype,
-                     use_pallas=use_pallas).astype(dtype)
+                     use_pallas=use_pallas,
+                     fused_bwd=fused_bwd).astype(dtype)
     x = x + _dropout(att, dropout, train, rngs[0])
     hld = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
     hld = jax.nn.relu(
@@ -205,7 +222,7 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
 
 
 def _pipelined_blocks(layers, x, num_heads, dtype, use_pallas, dropout,
-                      train, rng, ctx):
+                      train, rng, ctx, fused_bwd=False):
     """Run the block stack through the GPipe executor: per-layer dropout
     keys ride inside the stacked layer pytree (same site ids as the
     sequential loop), the batch splits into ``ctx.num_microbatches``.
@@ -247,7 +264,7 @@ def _pipelined_blocks(layers, x, num_heads, dtype, use_pallas, dropout,
                     jax.random.fold_in(keys[1], mb_index))
         return apply_vit_block(layer, t, num_heads, dtype,
                                use_pallas=use_pallas, dropout=dropout,
-                               train=train, rngs=rngs)
+                               train=train, rngs=rngs, fused_bwd=fused_bwd)
 
     xm = x.reshape((m, batch // m) + x.shape[1:])
     xm = pipeline_apply(fn, stacked, xm, ctx.mesh,
@@ -289,13 +306,18 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
     x = (x + params["pos"][: gh * gw]).astype(dtype)
     x = _dropout(x, dropout, train, _site_rng(rng, 20))
 
-    # Kernel dispatch is eval-only by measurement: in training the
-    # kernel's recompute-backward re-adds the XLA split/transpose
-    # passes and nets -9% (6,540 -> 5,980 samples/s/chip on v5e).
-    kernel_ok = use_pallas and not train
+    # Kernel dispatch (both defaults measured on v5e, batch 512):
+    # * eval: always the Pallas kernel (30.6k -> 42.2k QA/s).
+    # * train: the kernel with the Pallas flash backward when
+    #   TRAIN_ATTENTION_KERNEL says so. The earlier XLA-recompute
+    #   backward netted -9% (6,540 -> 5,980 samples/s) and stayed off;
+    #   the flash backward keeps the whole recompute in VMEM.
+    fused = train and TRAIN_ATTENTION_KERNEL
+    kernel_ok = use_pallas and (not train or fused)
     if pipeline_ctx is not None:
         x = _pipelined_blocks(params["layers"], x, num_heads, dtype,
-                              kernel_ok, dropout, train, rng, pipeline_ctx)
+                              kernel_ok, dropout, train, rng, pipeline_ctx,
+                              fused_bwd=fused)
     else:
         stacked = params["layers"]
         num_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
@@ -309,6 +331,7 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                 dropout=dropout, train=train,
                 rngs=(_site_rng(rng, 21 + 2 * idx),
                       _site_rng(rng, 22 + 2 * idx)),
+                fused_bwd=fused,
             )
 
     x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])

@@ -64,6 +64,7 @@ def evaluate_hw2(overrides=()) -> float:
             central_fraction=cfg["train"]["central_fraction"],
             processed_path=val_imgs,
             log=logger.write,
+            backend=cfg["tpu"]["image_builder_backend"],
         )
 
     cache = VQADataset.cache_path(profile["val_paths"]["vqaDataset"])

@@ -73,6 +73,7 @@ def main(cfg: dict) -> float:
                     central_fraction=cfg["train"]["central_fraction"],
                     processed_path=processed,
                     log=logger.write,
+                    backend=cfg["tpu"]["image_builder_backend"],
                 )
 
     def load_or_build(split: str, answerable_only: bool) -> VQADataset:

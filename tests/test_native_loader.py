@@ -35,6 +35,37 @@ def test_native_matches_pil_within_one_lsb(image_dir):
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+def test_offline_builder_native_matches_pil(image_dir, tmp_path):
+    """The batched native cache builder (data/images.py backend='native')
+    must agree with the serial PIL parity path: identical ids/order, and
+    features within the +-1 pre-normalize uint8 LSB envelope (i.e.
+    (1/255)/min(std) after normalization) plus fp16 rounding."""
+    import h5py
+
+    from dl_vqa_tpu.data.images import IMAGENET_STD, preprocess_images
+
+    root, _ = image_dir
+    paths = {"base_path": root, "imgs": "."}
+    out = {}
+    for backend in ("pil", "native"):
+        h5_path = str(tmp_path / f"cache_{backend}.h5")
+        n = preprocess_images(
+            paths, paths, image_size=96, central_fraction=0.875,
+            processed_path=h5_path, log=lambda *_: None, backend=backend,
+            batch_size=4,
+        )
+        assert n >= 10
+        with h5py.File(h5_path, "r") as fd:
+            out[backend] = (fd["features"][:], fd["ids"][:])
+    feats_pil, ids_pil = out["pil"]
+    feats_nat, ids_nat = out["native"]
+    np.testing.assert_array_equal(ids_pil, ids_nat)
+    tol = (1.0 / 255.0) / float(IMAGENET_STD.min()) + 2e-3  # LSB + fp16
+    assert np.abs(
+        feats_pil.astype(np.float32) - feats_nat.astype(np.float32)
+    ).max() <= tol
+
+
 def test_native_failure_reporting(image_dir):
     from dl_vqa_tpu.data.native_loader import NativeJpegLoader
 
