@@ -126,6 +126,12 @@ CFG_SCHEMA: Dict[str, Any] = {
         # device; batches carry row indices, the step gathers on device.
         # bool accepted because YAML reads bare on/off as booleans.
         "device_image_cache": (str, bool),
+        # per-DEVICE HBM budget for 'auto' (GiB); 0 = built-in default (4)
+        "device_image_cache_budget_gb": (float, int),
+        # 'replicated' (full table per device, local gather) | 'sharded'
+        # (rows split over the 'data' mesh axis: capacity scales with the
+        # mesh, gather becomes masked-local + all-reduce)
+        "device_image_cache_layout": str,
         "checkpoint_backend": str,   # 'npz' (single file) | 'orbax' (async dir)
         "prefetch_depth": int,
         "use_pallas": bool,

@@ -8,6 +8,20 @@ relay-backed runtimes the per-batch host->device image transfer
 (~147 MiB at ~40 MB/s) dominates the end-to-end step; uploading the
 fp16 feature store once and gathering on device took a 187.7 s epoch
 to 4.1 s.
+
+Two table layouts (``tpu.device_image_cache_layout``):
+
+* ``replicated`` (default) — every mesh device holds the full table;
+  the in-step gather is a local HBM copy (~0.2 ms measured).
+* ``sharded`` — table rows shard over the mesh's ``data`` axis, so
+  CAPACITY SCALES WITH THE MESH (per-device bytes = total / data) at
+  the price of a collective gather per step: XLA's SPMD partitioner
+  lowers ``table[rows]`` over a dim-0-sharded operand to a masked
+  local gather + all-reduce over 'data' — the gathered batch rides
+  ICI once instead of the whole table occupying every HBM. The budget
+  check charges per-DEVICE bytes, so 'auto' admits stores up to
+  mesh-data x the budget. Losses are bit-identical to the replicated
+  path (tests/test_sharding.py::test_device_cache_sharded_layout).
 """
 
 from __future__ import annotations
@@ -16,7 +30,8 @@ from typing import Dict, Optional
 
 __all__ = ["cache_mode", "plan_image_tables", "BUDGET_BYTES"]
 
-# Conservative HBM set-aside for resident feature tables in 'auto' mode.
+# Default HBM set-aside for resident feature tables in 'auto' mode;
+# override per-run with ``tpu.device_image_cache_budget_gb``.
 BUDGET_BYTES = 4 << 30
 
 
@@ -38,6 +53,23 @@ def cache_mode(cfg: dict) -> str:
     return raw
 
 
+def _budget_bytes(cfg: dict) -> int:
+    gb = cfg["tpu"].get("device_image_cache_budget_gb", 0)
+    return int(gb * 2**30) if gb else BUDGET_BYTES
+
+
+def _layout(cfg: dict, mesh) -> str:
+    raw = cfg["tpu"].get("device_image_cache_layout", "replicated")
+    if raw not in ("replicated", "sharded"):
+        raise ValueError(
+            f"tpu.device_image_cache_layout must be 'replicated' or "
+            f"'sharded'; got {raw!r}"
+        )
+    if raw == "sharded" and (mesh is None or mesh.shape.get("data", 1) < 2):
+        return "replicated"  # nothing to shard over
+    return raw
+
+
 def plan_image_tables(
     cfg: dict,
     datasets: Dict[str, object],
@@ -50,8 +82,11 @@ def plan_image_tables(
     Datasets sharing one ``image_path`` share ONE uploaded table (and
     count once against the budget); datasets without an image cache
     (online mode) get None. 'auto' declines — with a log line — when the
-    distinct stores exceed :data:`BUDGET_BYTES`; 'on' uploads
-    regardless. ``mesh`` replicates the tables across its devices."""
+    distinct stores exceed the per-device budget
+    (``tpu.device_image_cache_budget_gb``, default 4); 'on' uploads
+    regardless. ``mesh`` replicates the tables across its devices, or
+    row-shards them over 'data' in the 'sharded' layout (see module
+    docstring)."""
     import jax
 
     mode = cache_mode(cfg)
@@ -59,6 +94,8 @@ def plan_image_tables(
     if mode == "off":
         return out
 
+    layout = _layout(cfg, mesh)
+    shards = mesh.shape["data"] if layout == "sharded" else 1
     distinct_nbytes: Dict[str, int] = {}
     for ds in datasets.values():
         if getattr(ds, "has_image_rows", False):
@@ -66,13 +103,17 @@ def plan_image_tables(
     total = sum(distinct_nbytes.values())
     if total == 0:
         return out
-    if mode == "auto" and total > BUDGET_BYTES:
+    budget = _budget_bytes(cfg)
+    per_device = total // shards
+    if mode == "auto" and per_device > budget:
         if log:
             log(
-                f"Image store ({total / 2**20:.0f} MiB) exceeds the "
-                f"device-cache budget ({BUDGET_BYTES / 2**20:.0f} MiB); "
-                "using per-batch host transfer "
-                "(tpu.device_image_cache=on to force)"
+                f"Image store ({per_device / 2**20:.0f} MiB/device, "
+                f"layout={layout}) exceeds the device-cache budget "
+                f"({budget / 2**20:.0f} MiB); using per-batch host "
+                "transfer (tpu.device_image_cache=on to force, or "
+                "device_image_cache_layout=sharded to split over the "
+                "data mesh)"
             )
         return out
 
@@ -80,18 +121,34 @@ def plan_image_tables(
         log(
             f"Device-resident image cache: uploading "
             f"{total / 2**20:.0f} MiB of image features"
+            + (f" row-sharded over {shards} 'data' devices"
+               if shards > 1 else "")
         )
     sharding = None
     if mesh is not None:
-        from dl_vqa_tpu.parallel import replicated
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sharding = replicated(mesh)
+        if layout == "sharded":
+            sharding = NamedSharding(mesh, P("data", None, None, None))
+        else:
+            from dl_vqa_tpu.parallel import replicated
+
+            sharding = replicated(mesh)
     uploaded: Dict[str, object] = {}
     for name, ds in datasets.items():
         if not getattr(ds, "has_image_rows", False):
             continue
         if ds.image_path not in uploaded:
             host = ds.features_nhwc_all()
+            if shards > 1 and host.shape[0] % shards:
+                # Pad to a shardable row count; pad rows are never
+                # indexed (batch rows come from the dataset's id map).
+                import numpy as np
+
+                pad = shards - host.shape[0] % shards
+                host = np.concatenate(
+                    [host, np.zeros((pad,) + host.shape[1:], host.dtype)]
+                )
             uploaded[ds.image_path] = (
                 jax.device_put(host, sharding) if sharding is not None
                 else jax.device_put(host)

@@ -30,28 +30,86 @@ _ANSWERS = [
     "pizza", "kitchen", "baseball",
 ]
 
+# ---- learnable mode (opt-in): answers are a deterministic function of
+# rendered image attributes + the question's type word, so training can
+# actually CONVERGE on the corpus (the default mode's answers are random
+# — any model sits at the answer prior, which is the right property for
+# byte-stable fixtures but useless for accuracy-sensitive measurements
+# like the f8-stem quantization delta, experiments/probe_f8_accuracy.py).
+
+_COLOR_RGB = {
+    "red": (200, 40, 40), "blue": (40, 60, 200), "green": (40, 180, 60),
+    "white": (230, 230, 230), "black": (25, 25, 25), "brown": (140, 90, 40),
+}
+_COLOR_NAMES = sorted(_COLOR_RGB)
+_FILLER = ["the", "in", "this", "picture", "a", "of", "there"]
+
+
+def _image_attrs(image_id: int, seed: int) -> Dict[str, object]:
+    """Deterministic render attributes for an image id — shared by the
+    question/answer generator and the image renderer so they agree."""
+    rng = random.Random((seed << 20) ^ image_id)
+    return {
+        "color": rng.choice(_COLOR_NAMES),
+        "count": rng.randint(0, 3),
+        "bright": rng.random() < 0.5,
+    }
+
+
+def _learnable_qa(attrs: Dict[str, object], rng: random.Random):
+    """One (question_text, answer, answer_type) for an image."""
+    kind = rng.choice(("color", "count", "bright"))
+    pre = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(0, 2)))
+    if kind == "color":
+        text, ans, atype = "what color is it", attrs["color"], "other"
+    elif kind == "count":
+        text, ans, atype = "how many squares", str(attrs["count"]), "number"
+    else:
+        text, ans = "is it bright", ("yes" if attrs["bright"] else "no")
+        atype = "yes/no"
+    full = (pre + " " + text).strip() + "?"
+    return full, ans, atype
+
 
 def generate_vqa_split(
     n_questions: int,
     n_images: int,
     seed: int = 0,
     data_subtype: str = "train2014",
+    learnable: bool = False,
+    attr_seed: int = 0,
 ) -> Tuple[dict, dict, List[int]]:
-    """Return (questions_json, annotations_json, image_ids)."""
+    """Return (questions_json, annotations_json, image_ids).
+
+    ``learnable=True`` ties each answer to the image's rendered
+    attributes (see :func:`_image_attrs`; ``attr_seed`` must match the
+    renderer's seed) so a model can actually learn the corpus; the
+    default keeps answers random (byte-stable fixtures, prior-level
+    accuracy by construction)."""
     rng = random.Random(seed)
     image_ids = [1000 + i for i in range(n_images)]
     questions, annotations = [], []
     for qid in range(n_questions):
         image_id = rng.choice(image_ids)
-        n_words = rng.randint(3, 9)
-        text = " ".join(rng.choice(_QUESTION_WORDS) for _ in range(n_words)) + "?"
+        if learnable:
+            # answer_type is re-derived from the answer below, same as
+            # the random branch (colors -> other, digits -> number).
+            text, main_answer, _ = _learnable_qa(
+                _image_attrs(image_id, attr_seed), rng
+            )
+            conc = 0.9  # annotator agreement; the 0.3-coeff metric's soft
+        else:           # targets stay non-degenerate either way
+            n_words = rng.randint(3, 9)
+            text = " ".join(
+                rng.choice(_QUESTION_WORDS) for _ in range(n_words)
+            ) + "?"
+            main_answer, conc = rng.choice(_ANSWERS), 0.6
         questions.append(
             {"question_id": qid, "image_id": image_id, "question": text}
         )
-        main_answer = rng.choice(_ANSWERS)
         answers = [
             {
-                "answer": main_answer if rng.random() < 0.6 else rng.choice(_ANSWERS),
+                "answer": main_answer if rng.random() < conc else rng.choice(_ANSWERS),
                 "answer_confidence": "yes",
                 "answer_id": k + 1,
             }
@@ -90,14 +148,35 @@ def generate_coco_images(
     size: Tuple[int, int] = (320, 240),
     seed: int = 0,
     data_subtype: str = "train2014",
+    learnable: bool = False,
 ) -> None:
-    """Write random JPEGs with COCO filenames into ``image_dir``."""
+    """Write random JPEGs with COCO filenames into ``image_dir``.
+
+    ``learnable=True`` renders each image from its deterministic
+    attributes (:func:`_image_attrs`): a color-tinted noisy background
+    whose brightness encodes the yes/no answer, with ``count`` gray
+    squares drawn on it — so the answers generated by
+    :func:`generate_vqa_split` are recoverable from pixels."""
     from PIL import Image
 
     os.makedirs(image_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
+    w, h = size
     for img_id in image_ids:
-        arr = rng.integers(0, 256, size=(size[1], size[0], 3), dtype=np.uint8)
+        if learnable:
+            attrs = _image_attrs(img_id, seed)
+            base = np.array(_COLOR_RGB[attrs["color"]], dtype=np.float32)
+            scale = 1.0 if attrs["bright"] else 0.45
+            arr = base * scale + rng.normal(0.0, 18.0, size=(h, w, 3))
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+            sq = max(8, h // 6)
+            for k in range(attrs["count"]):
+                y0 = (h // 5) * (1 + (k % 2)) + (k // 2) * sq // 2
+                x0 = (w // 5) * (1 + k)
+                arr[y0:y0 + sq, x0:x0 + sq] = 128  # mid-gray: visible on
+                # every background color at either brightness
+        else:
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         name = f"COCO_{data_subtype}_{img_id:012d}.jpg"
         Image.fromarray(arr).save(os.path.join(image_dir, name))
 
@@ -111,12 +190,17 @@ def make_synthetic_corpus(
     central_fraction: float = 0.875,
     max_answers: int = 20,
     seed: int = 0,
+    learnable: bool = False,
 ) -> Dict[str, str]:
     """Build a complete miniature VQA corpus under ``root``.
 
     Produces the exact on-disk artifacts the entry points expect:
     question/annotation JSONs, image dirs, the h5 caches, and vocab.json.
     Returns a dict of paths laid out like a config 'profile' group.
+    ``learnable=True`` makes answers a deterministic function of image
+    pixels + question words (see :func:`generate_coco_images`) so
+    training can converge; the default keeps the byte-stable random
+    corpus existing fixtures depend on.
     """
     from dl_vqa_tpu.data import images as image_cache
     from dl_vqa_tpu.data import vocab as vocab_mod
@@ -151,7 +235,7 @@ def make_synthetic_corpus(
     ):
         qs, anns, image_ids = generate_vqa_split(
             n_q, n_images, seed=seed + (0 if split == "train" else 1),
-            data_subtype=subtype,
+            data_subtype=subtype, learnable=learnable, attr_seed=seed,
         )
         with open(os.path.join(root, f"{split}_questions.json"), "w") as fd:
             json.dump(qs, fd)
@@ -159,7 +243,7 @@ def make_synthetic_corpus(
             json.dump(anns, fd)
         generate_coco_images(
             os.path.join(root, subtype), image_ids,
-            seed=seed, data_subtype=subtype,
+            seed=seed, data_subtype=subtype, learnable=learnable,
         )
         image_cache.preprocess_images(
             other_paths=profile["paths"],
@@ -196,10 +280,14 @@ if __name__ == "__main__":
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument("--max-answers", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--learnable", action="store_true",
+                        help="answers derivable from pixels + question "
+                             "words (training can converge)")
     args = parser.parse_args()
     profile = make_synthetic_corpus(
         args.root, n_train=args.n_train, n_val=args.n_val,
         n_images=args.n_images, image_size=args.image_size,
         max_answers=args.max_answers, seed=args.seed,
+        learnable=args.learnable,
     )
     print(f"corpus at {args.root}: vocab={profile['paths']['vocab_path']}")

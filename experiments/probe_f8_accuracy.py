@@ -1,0 +1,137 @@
+"""Probe: what does the f8e4m3 activation-storage stem COST in accuracy?
+
+Round 2 measured the mode's throughput (17.3k -> 20.7k QA pairs/s/chip,
+docs/PERF_NOTES.md "f8 activation-storage stem") but left its accuracy
+delta unquantified ("outside the parity envelope"). This puts a number
+beside the throughput number, on the largest data this environment can
+produce: the at-scale synthetic corpus (20k train / 4k val QA pairs,
+1,500 distinct 224px images, 1000 answers).
+
+Protocol (inference-mode quantization, which is what the serving config
+does — `evaluate_vqa.py train.image.store_dtype=f8e4m3` on a checkpoint
+trained in bf16):
+  1. train the reference-scale parity model in bf16 to convergence
+     (best-val early-stop window, same LR law as main.py),
+  2. eval the SAME best params twice: store_dtype=compute vs f8e4m3,
+  3. report both accuracies and the delta.
+
+Run on the real TPU: `python experiments/probe_f8_accuracy.py [epochs]`.
+Result recorded in docs/PERF_NOTES.md and BASELINE.md.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dl_vqa_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
+from dl_vqa_tpu.data import synthetic
+from dl_vqa_tpu.data.dataset import VQADataset
+from dl_vqa_tpu.data.pipeline import Batcher
+from dl_vqa_tpu.models import ModelConfig, vqa
+from dl_vqa_tpu.train.loop import evaluate
+from dl_vqa_tpu.train.state import create_train_state
+from dl_vqa_tpu.train.steps import make_eval_step, make_optimizer, \
+    make_train_step
+
+BATCH = 512
+
+
+def get_dataset(split: str, root: str) -> VQADataset:
+    cache = os.path.join(root, f"ds_{split}.npz")
+    if os.path.exists(VQADataset.cache_path(cache)):
+        return VQADataset.load(VQADataset.cache_path(cache))
+    ds = VQADataset(
+        data_paths={
+            "questions": f"{split}_questions.json",
+            "answers": f"{split}_annotations.json",
+            "processed_imgs": os.path.join(
+                root, f"processed_{split}_images.h5"
+            ),
+            "vqaDataset": cache,
+        },
+        other_paths={
+            "base_path": root,
+            "vocab_path": os.path.join(root, "vocab.json"),
+        },
+        answerable_only=(split == "train"),
+    )
+    ds.save(cache)
+    return ds
+
+
+def main(epochs: int = 12) -> None:
+    on_tpu = jax.default_backend() == "tpu"
+    n_train, n_val, n_images, image_size = (
+        (20_000, 4_000, 1_500, 224) if on_tpu else (512, 256, 64, 64)
+    )
+    root = f"/tmp/dl_vqa_f8acc_learnable_{n_train}_{image_size}"
+    if not os.path.exists(os.path.join(root, "vocab.json")):
+        print(f"building corpus at {root} ...", flush=True)
+        # learnable=True: answers are a function of pixels + question
+        # words, so training CONVERGES and the quantization delta is
+        # measured against real accuracy, not the answer prior.
+        synthetic.make_synthetic_corpus(
+            root, n_train=n_train, n_val=n_val, n_images=n_images,
+            image_size=image_size, max_answers=1000, learnable=True,
+        )
+    train_ds, val_ds = get_dataset("train", root), get_dataset("val", root)
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    cfg = ModelConfig(num_tokens=train_ds.num_tokens, max_answers=1000,
+                      image_size=image_size)
+    cfg_f8 = dataclasses.replace(
+        cfg, image=dataclasses.replace(cfg.image, store_dtype="f8e4m3")
+    )
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(5e-4)
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16)
+    eval_bf16 = make_eval_step(cfg, jnp.bfloat16)
+    eval_f8 = make_eval_step(cfg_f8, jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+
+    table = jax.device_put(train_ds.features_nhwc_all())
+    val_table = jax.device_put(val_ds.features_nhwc_all())
+    train_b = Batcher(train_ds, BATCH, shuffle=True, load_images=False)
+    val_b = Batcher(val_ds, BATCH, shuffle=False, load_images=False)
+
+    best_score, best_params = -1.0, params
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        for batch in iter(train_b):
+            batch = dict(batch, image_table=table)
+            state, metrics = step(state, batch, rng)
+        score, loss = evaluate(eval_bf16, state.params, val_b,
+                               image_table=val_table)
+        print(f"epoch {epoch}: loss={float(metrics['loss']):.4f} "
+              f"val={score:.3f}% ({time.perf_counter() - t0:.1f}s)",
+              flush=True)
+        if score > best_score:
+            best_score, best_params = score, jax.device_get(state.params)
+
+    acc_bf16, _ = evaluate(eval_bf16, best_params, val_b,
+                           image_table=val_table)
+    acc_f8, _ = evaluate(eval_f8, best_params, val_b, image_table=val_table)
+    print(json.dumps({
+        "val_accuracy_bf16_store": round(acc_bf16, 3),
+        "val_accuracy_f8e4m3_store": round(acc_f8, 3),
+        "delta_pct_points": round(acc_f8 - acc_bf16, 3),
+        "corpus": f"learnable, {n_train} train / {n_val} val / "
+                  f"{n_images} images @ {image_size}px, 1000 answers",
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 12)

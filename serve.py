@@ -10,7 +10,7 @@ the TPU rebuild):
                        "top_k": int=5}            -> {"answers": [[a, p]..]}
     GET  /healthz     liveness (also reports the device backend)
     GET  /metrics     JSON counters: requests, batches, batch-size mean,
-                      latency p50/p99 ms
+                      errors/timeouts/rejected, latency p50/p99 ms
 
 TPU-native serving design:
 
@@ -61,22 +61,36 @@ class _Pending:
         self.enqueued_at = time.perf_counter()
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised by :meth:`BatchingService.submit` when the bounded request
+    queue is full — mapped to HTTP 503 so clients back off instead of
+    piling onto a queue they would only time out of."""
+
+
 class BatchingService:
     """Coalesces concurrent requests into bucketed jitted forwards."""
 
     def __init__(self, predictor, max_batch: int = 64,
                  batch_window_ms: float = 5.0,
-                 request_timeout_s: float = 300.0):
+                 request_timeout_s: float = 300.0,
+                 max_queue: int = 0):
         self.predictor = predictor
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1e3
         # Generous default: the FIRST request in each batch-size bucket
         # pays XLA compilation (minutes on relay-backed runtimes).
         self.request_timeout_s = request_timeout_s
-        self.queue: "queue.Queue[_Pending]" = queue.Queue()
+        # Bounded queue = backpressure (measured under saturation in
+        # docs/SERVING.md): ~8 batches of headroom bounds queue latency
+        # at ~8 device steps; beyond that callers get an immediate 503
+        # instead of a slot that can only end in timeout.
+        self.max_queue = max_queue or max_batch * 8
+        self.queue: "queue.Queue[_Pending]" = queue.Queue(
+            maxsize=self.max_queue
+        )
         self.lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "errors": 0, "timeouts": 0}
+                      "errors": 0, "timeouts": 0, "rejected": 0}
         self.latencies_ms: List[float] = []
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -92,7 +106,14 @@ class BatchingService:
         # that later times out or errors must not vanish from the counts.
         with self.lock:
             self.stats["requests"] += 1
-        self.queue.put(pending)
+        try:
+            self.queue.put_nowait(pending)
+        except queue.Full:
+            with self.lock:
+                self.stats["rejected"] += 1
+            raise ServiceOverloaded(
+                f"request queue full ({self.max_queue}); retry later"
+            ) from None
         if timeout_s is None:
             timeout_s = self.request_timeout_s
         if not pending.event.wait(timeout_s):
@@ -250,6 +271,8 @@ def make_handler(service: BatchingService, predictor):
             try:
                 answers = service.submit(image, question, top_k)
                 self._reply(200, {"answers": answers})
+            except ServiceOverloaded as exc:
+                self._reply(503, {"error": str(exc)})
             except Exception as exc:  # noqa: BLE001 - inference failure
                 self._reply(500, {"error": str(exc)})
 
@@ -258,7 +281,7 @@ def make_handler(service: BatchingService, predictor):
 
 def build_server(cfg, port: int = 0, max_batch: int = 64,
                  batch_window_ms: float = 5.0, host: str = "127.0.0.1",
-                 request_timeout_s: float = 300.0):
+                 request_timeout_s: float = 300.0, max_queue: int = 0):
     """Returns (ThreadingHTTPServer, BatchingService); port 0 = ephemeral."""
     from predict import Predictor
 
@@ -270,7 +293,8 @@ def build_server(cfg, port: int = 0, max_batch: int = 64,
     )
     service = BatchingService(predictor, max_batch=max_batch,
                               batch_window_ms=batch_window_ms,
-                              request_timeout_s=request_timeout_s)
+                              request_timeout_s=request_timeout_s,
+                              max_queue=max_queue)
     server = ThreadingHTTPServer(
         (host, port), make_handler(service, predictor)
     )
@@ -289,6 +313,9 @@ def main(argv=None) -> int:
     parser.add_argument("--request-timeout-s", type=float, default=300.0,
                         help="per-request wait; the first request per "
                              "batch bucket pays XLA compile")
+    parser.add_argument("--max-queue", type=int, default=0,
+                        help="bounded request queue (backpressure): "
+                             "excess submits get 503; 0 = 8*max_batch")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 

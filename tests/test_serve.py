@@ -4,6 +4,7 @@ import base64
 import json
 import os
 import threading
+import time
 import urllib.request
 
 import pytest
@@ -148,3 +149,62 @@ def test_bucket_clamps_to_max_batch_and_stop_terminates():
         service.stop()
     service.thread.join(timeout=2.0)
     assert not service.thread.is_alive()
+
+
+def test_bounded_queue_backpressure():
+    """When the bounded queue is full, submit raises ServiceOverloaded
+    (HTTP 503), the 'rejected' counter increments, and accepted requests
+    still complete once the batcher drains."""
+    import numpy as np
+
+    import serve
+
+    class _BlockingPredictor:
+        """Stalls the batcher so the queue actually fills."""
+
+        max_question_length = 4
+
+        def __init__(self):
+            self.release = threading.Event()
+
+        def encode_questions(self, qs):
+            return (np.zeros((len(qs), 4), np.int32),
+                    np.ones(len(qs), np.int32))
+
+        def forward_probs(self, images, questions, lengths):
+            self.release.wait(10.0)
+            return np.full((len(images), 3), 1 / 3, np.float32)
+
+        def top_k_from_probs(self, probs, k):
+            return [["yes", 0.33]]
+
+    pred = _BlockingPredictor()
+    service = serve.BatchingService(pred, max_batch=1, batch_window_ms=0.0,
+                                    max_queue=2)
+    img = np.zeros((4, 4, 3), np.float32)
+    results, errors = [], []
+
+    def fire():
+        try:
+            results.append(service.submit(img, "q", 1, timeout_s=15.0))
+        except serve.ServiceOverloaded as exc:
+            errors.append(exc)
+
+    try:
+        # First submit is picked up by the batcher (and blocks in
+        # forward_probs); then fill the 2-slot queue, then overflow it.
+        threads = [threading.Thread(target=fire) for _ in range(5)]
+        for t in threads:
+            t.start()
+            time.sleep(0.15)  # let the batcher drain deterministically
+        overflow = [t for t in threads if t.is_alive()]
+        assert len(errors) >= 1, "expected at least one overload rejection"
+        pred.release.set()
+        for t in threads:
+            t.join(timeout=15.0)
+        assert service.metrics()["rejected"] == len(errors)
+        assert len(results) == 5 - len(errors)
+        assert overflow is not None  # silence lint; timing documented above
+    finally:
+        pred.release.set()
+        service.stop()

@@ -266,3 +266,66 @@ def test_non_divisible_tensor_parallel_dim_warns(caplog):
     with caplog.at_level(pylogging.WARNING, logger="dl_vqa_tpu.parallel.mesh"):
         param_shardings(small, make_mesh(data=4, model=2))
     assert not [r for r in caplog.records if "fallback" in r.message]
+
+
+def test_device_cache_sharded_layout():
+    """'sharded' table layout (tpu.device_image_cache_layout): per-device
+    table bytes = total / data-mesh size (capacity scales WITH the mesh
+    instead of replicating against it), losses bit-identical to the
+    replicated layout, and the 'auto' budget charges per-device bytes."""
+    from dl_vqa_tpu.data.device_cache import plan_image_tables
+
+    cfg = _cfg()
+    mesh = make_mesh(data=8, model=1)
+    n_rows = 21  # not divisible by 8: exercises the pad path (-> 24)
+    rng_np = np.random.default_rng(3)
+    feats = rng_np.standard_normal(
+        (n_rows, cfg.image_size, cfg.image_size, 3)
+    ).astype(np.float16)
+
+    class _DS:
+        has_image_rows = True
+        image_path = "/tmp/fake_store.h5"
+        image_store_nbytes = feats.nbytes
+
+        def features_nhwc_all(self, dtype=np.float16):
+            return feats.copy()
+
+    def conf(layout, mode="on", budget_gb=0):
+        return {"tpu": {"device_image_cache": mode,
+                        "device_image_cache_layout": layout,
+                        "device_image_cache_budget_gb": budget_gb}}
+
+    table_r = plan_image_tables(conf("replicated"), {"d": _DS()},
+                                mesh=mesh)["d"]
+    table_s = plan_image_tables(conf("sharded"), {"d": _DS()},
+                                mesh=mesh)["d"]
+    assert table_s.shape[0] == 24  # padded up to a shardable row count
+    assert {s.data.nbytes for s in table_s.addressable_shards} == {
+        table_s.nbytes // 8
+    }
+    assert {s.data.shape[0] for s in table_r.addressable_shards} == {n_rows}
+
+    # Same eval-step numbers through both layouts (XLA lowers the gather
+    # over the dim-0-sharded table to masked local gather + all-reduce).
+    params = jax.device_put(
+        vqa.init(jax.random.PRNGKey(0), cfg), replicated(mesh)
+    )
+    step = make_eval_step(cfg, jnp.float32)
+    batch = _batch(cfg)
+    del batch["images"]
+    batch["image_rows"] = rng_np.integers(0, n_rows, (16,)).astype(np.int32)
+    bsh = batch_sharding(mesh)
+    sharded_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    out_r = step(params, dict(sharded_batch, image_table=table_r))
+    out_s = step(params, dict(sharded_batch, image_table=table_s))
+    assert float(out_r[0]) == float(out_s[0])
+    assert float(out_r[1]) == float(out_s[1])
+
+    # 'auto' budget is per-DEVICE: a budget that fits total/8 but not the
+    # full store declines replicated and admits sharded.
+    per_dev_fits = (feats.nbytes // 8 + 512) / 2**30
+    assert plan_image_tables(conf("replicated", "auto", per_dev_fits),
+                             {"d": _DS()}, mesh=mesh)["d"] is None
+    assert plan_image_tables(conf("sharded", "auto", per_dev_fits),
+                             {"d": _DS()}, mesh=mesh)["d"] is not None

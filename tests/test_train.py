@@ -488,3 +488,47 @@ def test_grad_accum_composes_with_device_image_table():
                     jax.tree_util.tree_leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_training_learns_on_learnable_corpus(tmp_path):
+    """End-to-end learning signal: on the learnable synthetic corpus
+    (answers derivable from pixels + question words) a few epochs of the
+    real train loop must beat the answer-prior accuracy by a wide margin
+    — guards against silent learning regressions that shape/parity tests
+    cannot see (on TPU the same recipe reaches 99.6%+ at scale,
+    experiments/probe_f8_accuracy.py)."""
+    from dl_vqa_tpu.data import synthetic
+    from dl_vqa_tpu.data.dataset import VQADataset
+    from dl_vqa_tpu.data.pipeline import Batcher
+    from dl_vqa_tpu.train.loop import evaluate
+
+    root = str(tmp_path / "data")
+    profile = synthetic.make_synthetic_corpus(
+        root, n_train=512, n_val=128, n_images=24, image_size=32,
+        max_answers=12, learnable=True,
+    )
+    train_ds = VQADataset(data_paths=profile["train_paths"],
+                          other_paths=profile["paths"],
+                          answerable_only=True)
+    val_ds = VQADataset(data_paths=profile["val_paths"],
+                        other_paths=profile["paths"])
+    cfg = _tiny_cfg(num_tokens=train_ds.num_tokens)
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(2e-3)
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    eval_step = make_eval_step(cfg, jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    train_b = Batcher(train_ds, 64, shuffle=True)
+    val_b = Batcher(val_ds, 64, shuffle=False)
+    prior, _ = evaluate(eval_step, state.params, val_b)
+    for _ in range(12):
+        for batch in iter(train_b):
+            state, _ = step(state, batch, rng)
+    score, _ = evaluate(eval_step, state.params, val_b)
+    # Answer prior on this corpus is ~10-20% (untrained model starts near
+    # 0-20%); a learning model clears 45% within 12 epochs (measured:
+    # ~13% -> 36% at 6 epochs, climbing).
+    assert score > 45.0, f"no learning signal: {prior:.1f}% -> {score:.1f}%"
+    assert score > prior + 20.0
