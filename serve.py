@@ -201,6 +201,48 @@ class BatchingService:
                     p.error = f"{type(exc).__name__}: {exc}"
                     p.event.set()
 
+    def warmup(self, image_shape=None, block: bool = False):
+        """Pre-compile every batch bucket (ascending) with dummy inputs.
+
+        XLA compiles per shape, and through a relay runtime the FIRST
+        request landing in each bucket otherwise pays minutes of compile
+        latency (docs/SERVING.md). Runs on a background thread by
+        default so the server accepts traffic immediately — small
+        buckets warm first, so early real requests compile at most one
+        bucket ahead of the sweep. The persistent compile cache makes
+        this a no-op across restarts."""
+        import numpy as np
+
+        if image_shape is None:
+            s = self.predictor.image_size
+            image_shape = (s, s, 3)
+        max_len = self.predictor.max_question_length
+
+        def run():
+            size = 1
+            while True:
+                # Mirrors _bucket: powers of two, clamped to max_batch
+                # (a non-power-of-two cap is itself a bucket).
+                bucket = min(size, self.max_batch)
+                self.predictor.forward_probs(
+                    np.zeros((bucket,) + tuple(image_shape), np.float32),
+                    np.zeros((bucket, max_len), np.int32),
+                    np.ones(bucket, np.int32),
+                )
+                with self.lock:
+                    self.stats["warmed_buckets"] = (
+                        self.stats.get("warmed_buckets", 0) + 1
+                    )
+                if bucket == self.max_batch:
+                    break
+                size *= 2
+
+        thread = threading.Thread(target=run, daemon=True)
+        thread.start()
+        if block:
+            thread.join()
+        return thread
+
     def metrics(self) -> dict:
         with self.lock:
             lat = list(self.latencies_ms)
@@ -281,8 +323,11 @@ def make_handler(service: BatchingService, predictor):
 
 def build_server(cfg, port: int = 0, max_batch: int = 64,
                  batch_window_ms: float = 5.0, host: str = "127.0.0.1",
-                 request_timeout_s: float = 300.0, max_queue: int = 0):
-    """Returns (ThreadingHTTPServer, BatchingService); port 0 = ephemeral."""
+                 request_timeout_s: float = 300.0, max_queue: int = 0,
+                 warmup: bool = False):
+    """Returns (ThreadingHTTPServer, BatchingService); port 0 = ephemeral.
+    ``warmup=True`` starts the background bucket pre-compile sweep
+    (:meth:`BatchingService.warmup`)."""
     from predict import Predictor
 
     profile = cfg["main"]["full" if cfg["main"]["use_full"] else "small"]
@@ -295,6 +340,8 @@ def build_server(cfg, port: int = 0, max_batch: int = 64,
                               batch_window_ms=batch_window_ms,
                               request_timeout_s=request_timeout_s,
                               max_queue=max_queue)
+    if warmup:
+        service.warmup()
     server = ThreadingHTTPServer(
         (host, port), make_handler(service, predictor)
     )
@@ -316,6 +363,10 @@ def main(argv=None) -> int:
     parser.add_argument("--max-queue", type=int, default=0,
                         help="bounded request queue (backpressure): "
                              "excess submits get 503; 0 = 8*max_batch")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip the background bucket pre-compile "
+                             "sweep (first request per batch bucket "
+                             "then pays XLA compilation)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -324,6 +375,7 @@ def main(argv=None) -> int:
         cfg, port=args.port, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms, host=args.host,
         request_timeout_s=args.request_timeout_s,
+        max_queue=args.max_queue, warmup=not args.no_warmup,
     )
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(max_batch={args.max_batch}, window={args.batch_window_ms}ms)")

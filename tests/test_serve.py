@@ -208,3 +208,37 @@ def test_bounded_queue_backpressure():
     finally:
         pred.release.set()
         service.stop()
+
+
+def test_warmup_compiles_every_bucket():
+    """warmup() sweeps every batch bucket ascending (incl. a clamped
+    non-power-of-two max) so no real request pays XLA compilation."""
+    import numpy as np
+
+    import serve
+
+    calls = []
+
+    class _CountingPredictor:
+        image_size = 8
+        max_question_length = 5
+
+        def encode_questions(self, qs):
+            return (np.zeros((len(qs), 5), np.int32),
+                    np.ones(len(qs), np.int32))
+
+        def forward_probs(self, images, questions, lengths):
+            calls.append(images.shape)
+            return np.full((len(images), 3), 1 / 3, np.float32)
+
+        def top_k_from_probs(self, probs, k):
+            return [["yes", 0.33]]
+
+    service = serve.BatchingService(_CountingPredictor(), max_batch=48)
+    try:
+        service.warmup(block=True)
+    finally:
+        service.stop()
+    assert [c[0] for c in calls] == [1, 2, 4, 8, 16, 32, 48]
+    assert all(c[1:] == (8, 8, 3) for c in calls)
+    assert service.metrics()["warmed_buckets"] == 7
