@@ -238,15 +238,16 @@ class VQADataset:
     def image_store_nbytes(self) -> int:
         """Device-side size of the full image feature store in bytes,
         WITHOUT loading it — the budget check for the device-resident
-        cache. The uploaded table is fp16 (``features_nhwc_all``
-        downcasts wider stores), so the budget charge is
-        ``min(itemsize, 2)`` bytes/element: a user-supplied float32
-        store costs 2 bytes/element on DEVICE (it is downcast — loudly,
-        see ``features_nhwc_all``) even though it is 4 on the host."""
+        cache. The uploaded table is ALWAYS fp16 (``features_nhwc_all``
+        converts wider stores down — loudly — and narrower ones up), so
+        the charge is a flat 2 bytes/element regardless of the h5 dtype:
+        a float32 store lands as 2 bytes/element on device, and a uint8
+        store also lands as 2 (charging its host itemsize of 1 would
+        admit a table twice the budget)."""
         if not getattr(self, "has_image_rows", True):
             return 0
         feats = self._h5_handle()["features"]
-        return int(np.prod(feats.shape)) * min(feats.dtype.itemsize, 2)
+        return int(np.prod(feats.shape)) * 2
 
     def features_nhwc_all(self, dtype=np.float16) -> np.ndarray:
         """The WHOLE image store as one [N, H, W, 3] array — the host

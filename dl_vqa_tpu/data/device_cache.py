@@ -104,7 +104,11 @@ def plan_image_tables(
     if total == 0:
         return out
     budget = _budget_bytes(cfg)
-    per_device = total // shards
+    # Ceil, not floor: non-divisible row counts are zero-padded UP before
+    # the sharded device_put, so each device really holds ceil-many rows.
+    # (Residual row-granularity slack is < 1 row/device — ~0.3 MB for a
+    # 224px fp16 row — against GiB-scale budgets.)
+    per_device = -(-total // shards)
     if mode == "auto" and per_device > budget:
         if log:
             log(

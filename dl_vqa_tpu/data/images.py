@@ -135,7 +135,12 @@ def preprocess_images(
     if backend not in ("auto", "native", "pil"):
         raise ValueError(f"unknown builder backend: {backend!r}")
     use_native = False
-    if backend in ("auto", "native"):
+    if backend == "auto" and (os.cpu_count() or 1) < 2:
+        # Measured: PIL wins single-threaded. Decide BEFORE touching
+        # native_available(), which may spend up to 120 s building the
+        # .so only for the result to be discarded here.
+        pass
+    elif backend in ("auto", "native"):
         from dl_vqa_tpu.data import native_loader
 
         use_native = native_loader.native_available()
@@ -144,8 +149,6 @@ def preprocess_images(
                 "backend='native' requested but native/libvqa_image.so is "
                 "unavailable (build with `make -C native`)"
             )
-        if backend == "auto" and (os.cpu_count() or 1) < 2:
-            use_native = False  # measured: PIL wins single-threaded
     log(f"Processing {n} images from {image_dir} "
         f"({'native thread pool' if use_native else 'PIL serial'})")
 

@@ -149,13 +149,45 @@ def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
     return flat, meta
 
 
+def _legacy_stacked_leaf(flat: Dict[str, np.ndarray], key: str,
+                         leaf) -> Optional[np.ndarray]:
+    """Migrate a pre-round-3 list-of-layers checkpoint leaf.
+
+    The ViT block stack used to be a LIST of per-layer dicts (flat keys
+    like ``image|layers|#0|ln1|scale``); it is now stored stacked — one
+    leaf per parameter with a leading ``[L, ...]`` axis
+    (``models/vit.py:init_vit_image``). When the stacked key is missing,
+    look for the legacy indexed keys at every possible path position and
+    stack them. Returns None when no legacy layout matches (the caller
+    raises its normal KeyError)."""
+    shape = np.shape(leaf)
+    if not shape:
+        return None
+    parts = key.split(_SEP)
+    for pos in range(1, len(parts) + 1):
+        probe = _SEP.join(parts[:pos] + ["#0"] + parts[pos:])
+        if probe not in flat:
+            continue
+        keys = [
+            _SEP.join(parts[:pos] + [f"#{i}"] + parts[pos:])
+            for i in range(shape[0])
+        ]
+        if all(k in flat for k in keys):
+            return np.stack([flat[k] for k in keys])
+    return None
+
+
 def _unflatten_into(template: Any, flat: Dict[str, np.ndarray]) -> Any:
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for path, leaf in leaves_with_paths:
         key = _SEP.join(_path_str(p) for p in path)
         if key not in flat:
-            raise KeyError(f"Checkpoint missing leaf {key!r}")
+            legacy = _legacy_stacked_leaf(flat, key, leaf)
+            if legacy is None:
+                raise KeyError(f"Checkpoint missing leaf {key!r}")
+            flat = dict(flat)
+            flat[key] = legacy
         value = flat[key]
         if tuple(value.shape) != tuple(np.shape(leaf)):
             raise ValueError(

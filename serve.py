@@ -221,14 +221,22 @@ class BatchingService:
         def run():
             size = 1
             while True:
-                # Mirrors _bucket: powers of two, clamped to max_batch
-                # (a non-power-of-two cap is itself a bucket).
-                bucket = min(size, self.max_batch)
-                self.predictor.forward_probs(
-                    np.zeros((bucket,) + tuple(image_shape), np.float32),
-                    np.zeros((bucket, max_len), np.int32),
-                    np.ones(bucket, np.int32),
-                )
+                bucket = self._bucket(size)  # the exact served shapes
+                try:
+                    self.predictor.forward_probs(
+                        np.zeros((bucket,) + tuple(image_shape), np.float32),
+                        np.zeros((bucket, max_len), np.int32),
+                        np.ones(bucket, np.int32),
+                    )
+                except Exception:  # noqa: BLE001 - warmup must not die mute
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "serving warmup failed at bucket %d; later "
+                        "requests in unwarmed buckets will pay XLA "
+                        "compilation", bucket,
+                    )
+                    return
                 with self.lock:
                     self.stats["warmed_buckets"] = (
                         self.stats.get("warmed_buckets", 0) + 1

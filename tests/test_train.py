@@ -532,3 +532,65 @@ def test_training_learns_on_learnable_corpus(tmp_path):
     # ~13% -> 36% at 6 epochs, climbing).
     assert score > 45.0, f"no learning signal: {prior:.1f}% -> {score:.1f}%"
     assert score > prior + 20.0
+
+
+def test_legacy_vit_list_checkpoint_migrates_to_stacked(tmp_path):
+    """Pre-round-3 ViT checkpoints stored the block stack as a LIST of
+    per-layer dicts (flat keys 'image|layers|#i|...'); params are now
+    stacked ([L, ...] leading axis). Loading a legacy checkpoint into
+    the new template must stack the per-layer leaves transparently, for
+    both bare params and full TrainState resumes."""
+    from dl_vqa_tpu.models.configs import ImageConfig
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+    from dl_vqa_tpu.utils.checkpoint import _SEP, _flatten
+
+    cfg = ModelConfig(
+        text=TextConfig(question_features=16, embedding_features=8,
+                        dropout=0.0),
+        image=ImageConfig(encoder="vit", patch_size=8, num_channels=(3, 32),
+                          num_layers=3, num_heads=2, dropout=0.0),
+        attention=AttentionConfig(hidden_dim=12, glimpses=2, dropout=0.0),
+        classifier=ClassifierConfig(hidden_dim=16, dropout=0.0),
+        max_answers=12, image_size=32, num_tokens=30,
+    )
+    params = vqa.init(jax.random.PRNGKey(3), cfg)
+    flat = _flatten(params)
+
+    # Synthesize the legacy layout: unstack every image|layers leaf.
+    legacy = {}
+    for key, value in flat.items():
+        marker = f"image{_SEP}layers{_SEP}"
+        if key.startswith(marker) or f"{_SEP}{marker}" in key:
+            head, rest = key.split(marker, 1)
+            for i in range(value.shape[0]):
+                legacy[f"{head}{marker}#{i}{_SEP}{rest}"] = value[i]
+        else:
+            legacy[key] = value
+    path = str(tmp_path / "legacy.ckpt")
+    np.savez(path, **legacy)
+    os.replace(path + ".npz", path)
+
+    loaded = ckpt.load_params(path, params_template=params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Full TrainState resume (Adam moments share the layers subtree).
+    tx = make_optimizer(1e-3)
+    state = create_train_state(params, tx)
+    legacy_state = {}
+    for key, value in _flatten(state).items():
+        marker = f"image{_SEP}layers{_SEP}"
+        if marker in key and value.ndim >= 1:
+            head, rest = key.split(marker, 1)
+            for i in range(value.shape[0]):
+                legacy_state[f"{head}{marker}#{i}{_SEP}{rest}"] = value[i]
+        else:
+            legacy_state[key] = value
+    spath = str(tmp_path / "legacy_state.ckpt")
+    np.savez(spath, **legacy_state)
+    os.replace(spath + ".npz", spath)
+    restored, _ = ckpt.restore_state(state, spath)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
