@@ -271,8 +271,8 @@ def main(vit: bool = False, f8_stem: bool = False) -> None:
     )
 
 
-def bench_e2e() -> None:
-    """End-to-end training-pipeline mode (`python bench.py --e2e`):
+def bench_e2e(vit: bool = False) -> None:
+    """End-to-end training-pipeline mode (`python bench.py --e2e [--vit]`):
     builds (once, cached under /tmp) an at-scale synthetic corpus — 20k
     train QA pairs over 1,500 distinct 224px images — then times a full
     epoch through the REAL pipeline: Batcher -> prefetch -> fused train
@@ -284,6 +284,7 @@ def bench_e2e() -> None:
 
     On non-TPU backends the corpus shrinks so the mode stays runnable.
     """
+    import dataclasses
     import os
 
     from dl_vqa_tpu.data.dataset import VQADataset
@@ -327,6 +328,14 @@ def bench_e2e() -> None:
     jax.config.update("jax_default_prng_impl", "rbg")
     cfg = ModelConfig(num_tokens=ds.num_tokens, max_answers=1000,
                       image_size=image_size)
+    if vit:
+        cfg = dataclasses.replace(
+            cfg,
+            image=dataclasses.replace(
+                cfg.image, encoder="vit", patch_size=16, num_layers=4,
+                num_heads=4, num_channels=(3, 256),
+            ),
+        )
     params = vqa.init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(5e-4)
     state = create_train_state(params, tx)
@@ -353,9 +362,9 @@ def bench_e2e() -> None:
             {
                 "metric": "e2e_train_samples_per_sec",
                 "value": round(samples_per_sec, 1),
-                "unit": "samples/s end-to-end (%d-sample epoch incl. host "
-                "pipeline, batch %d, device image cache)"
-                % (len(ds), BATCH_SIZE),
+                "unit": "samples/s end-to-end (%s, %d-sample epoch incl. "
+                "host pipeline, batch %d, device image cache)"
+                % ("ViT" if vit else "VQA", len(ds), BATCH_SIZE),
                 "vs_baseline": None,
             }
         )
@@ -368,7 +377,7 @@ if __name__ == "__main__":
     vit = "--vit" in sys.argv
     f8_stem = "--f8-stem" in sys.argv
     if "--e2e" in sys.argv:
-        bench_e2e()
+        bench_e2e(vit=vit)
     elif "--train" in sys.argv:
         bench_train(vit=vit, f8_stem=f8_stem)
     elif "--latency" in sys.argv:

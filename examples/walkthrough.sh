@@ -8,9 +8,10 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 WORK="${1:-/tmp/dl_vqa_walkthrough}"
 export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 
-echo "== 1. synthetic corpus =="
+echo "== 1. synthetic corpus (learnable: answers derivable from pixels) =="
 python -m dl_vqa_tpu.data.synthetic "$WORK/data" \
-  --n-train 128 --n-val 64 --n-images 10 --image-size 64 --max-answers 20
+  --n-train 128 --n-val 64 --n-images 10 --image-size 64 --max-answers 20 \
+  --learnable
 
 # Shared overrides: point the 'small' profile at the corpus and shrink the
 # model so this runs in seconds anywhere.
