@@ -55,6 +55,11 @@ def cache_mode(cfg: dict) -> str:
 
 def _budget_bytes(cfg: dict) -> int:
     gb = cfg["tpu"].get("device_image_cache_budget_gb", 0)
+    if gb < 0:
+        raise ValueError(
+            f"tpu.device_image_cache_budget_gb must be >= 0 (0 means the "
+            f"default {BUDGET_BYTES >> 30} GiB); got {gb!r}"
+        )
     return int(gb * 2**30) if gb else BUDGET_BYTES
 
 

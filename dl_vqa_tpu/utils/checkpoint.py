@@ -180,13 +180,16 @@ def _legacy_stacked_leaf(flat: Dict[str, np.ndarray], key: str,
 def _unflatten_into(template: Any, flat: Dict[str, np.ndarray]) -> Any:
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
+    copied = False  # copy-on-first-migration so the caller's dict is untouched
     for path, leaf in leaves_with_paths:
         key = _SEP.join(_path_str(p) for p in path)
         if key not in flat:
             legacy = _legacy_stacked_leaf(flat, key, leaf)
             if legacy is None:
                 raise KeyError(f"Checkpoint missing leaf {key!r}")
-            flat = dict(flat)
+            if not copied:
+                flat = dict(flat)
+                copied = True
             flat[key] = legacy
         value = flat[key]
         if tuple(value.shape) != tuple(np.shape(leaf)):

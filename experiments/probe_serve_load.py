@@ -156,17 +156,13 @@ def main():
     base, image_b64, service, httpd = build(
         "/tmp/dl_vqa_serve_load", args.max_batch, args.window_ms
     )
-    # Warm every batch bucket: bursts at each power of two compile the
-    # padded shapes BEFORE measurement (XLA compiles per shape).
-    size = 1
-    while size <= args.max_batch:
-        ths = [threading.Thread(target=post, args=(base, image_b64))
-               for _ in range(size)]
-        for t in ths:
-            t.start()
-        for t in ths:
-            t.join()
-        size *= 2
+    # Warm every batch bucket BEFORE measurement via the service's own
+    # sweep — it walks the exact served `_bucket` shapes, including the
+    # clamped final bucket of a non-power-of-two --max-batch (a burst
+    # sweep over powers of two would miss it and pay XLA compilation
+    # mid-measurement). One HTTP request then warms the HTTP+decode path.
+    service.warmup(block=True)
+    post(base, image_b64)
     print("warmup done; buckets compiled", flush=True)
 
     before = service.metrics()

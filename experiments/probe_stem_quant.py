@@ -12,12 +12,16 @@ with a loop-carried dependency, two loop lengths differenced to cancel
 dispatch RTT and compile-adjacent fixed costs.
 """
 
-import time
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import timed_ms  # noqa: E402 - shared methodology
 
 B, HW, CIN, COUT = 512, 224, 3, 64
 
@@ -57,26 +61,7 @@ def stem_f8(x, w, b):
 
 
 def time_variant(name, fn, x, w, b):
-    def looped(n):
-        def body(i, acc):
-            out = fn(x + acc.astype(jnp.bfloat16) * jnp.bfloat16(1e-30), w, b)
-            return acc + out.astype(jnp.float32).sum() * 1e-30
-
-        return lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    run = jax.jit(looped, static_argnums=0)
-    float(run(2))  # compile both lengths' shared body; warm
-    float(run(22))
-    t0 = time.perf_counter()
-    float(run(2))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run(22))
-    t_long = time.perf_counter() - t0
-    per_iter = (t_long - t_short) / 20.0
-    print(f"{name:10s}: {per_iter * 1e3:7.2f} ms/iter "
-          f"(short {t_short*1e3:.1f} ms, long {t_long*1e3:.1f} ms)")
-    return per_iter
+    return timed_ms(name, fn, x, w, b, width=10)
 
 
 def main():

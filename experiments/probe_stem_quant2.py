@@ -6,12 +6,16 @@ int8 loses). Here: (a) does f8 intermediate storage also pay on block1
 delta of the f8 path, jitted, at batch 64.
 """
 
-import time
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import timed_ms  # noqa: E402 - shared methodology
 
 
 def conv(x, w):
@@ -41,28 +45,7 @@ def stem_f8(x, w, b):
 
 
 def time_variant(name, fn, x, w, b):
-    def looped(n):
-        def body(i, acc):
-            out = fn(x + acc.astype(jnp.bfloat16) * jnp.bfloat16(1e-30), w, b)
-            return acc + out.astype(jnp.float32).sum() * 1e-30
-
-        return lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    run = jax.jit(looped, static_argnums=0)
-    print(f"  {name}: compiling...", flush=True)
-    float(run(2))
-    print(f"  {name}: short compiled", flush=True)
-    float(run(22))
-    print(f"  {name}: long compiled", flush=True)
-    t0 = time.perf_counter()
-    float(run(2))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run(22))
-    t_long = time.perf_counter() - t0
-    per_iter = (t_long - t_short) / 20.0
-    print(f"{name:12s}: {per_iter * 1e3:7.2f} ms/iter")
-    return per_iter
+    return timed_ms(name, fn, x, w, b, width=12, verbose=True)
 
 
 def main():

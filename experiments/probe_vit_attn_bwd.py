@@ -20,16 +20,16 @@ Three measurements, on-device differenced loops (see PERF_NOTES
 
 import os
 import sys
-import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from _timing import timed_ms  # noqa: E402 - shared methodology
 from dl_vqa_tpu.ops.vit_attention_pallas import (
     vit_attention_qkv_pallas,
     vit_attention_qkv_pallas_fused_bwd,
@@ -67,20 +67,7 @@ def check_correctness():
 
 
 def timed(name, step, arg):
-    def looped(n):
-        def body(i, acc):
-            out = step(arg + acc.astype(arg.dtype) * 1e-30)
-            return acc + out.astype(jnp.float32) * 1e-30
-
-        return lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    run = jax.jit(looped, static_argnums=0)
-    float(run(2)); float(run(22))
-    t0 = time.perf_counter(); float(run(2)); ts = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(run(22)); tl = time.perf_counter() - t0
-    ms = (tl - ts) / 20.0 * 1e3
-    print(f"{name:44s}: {ms:7.3f} ms/iter", flush=True)
-    return ms
+    return timed_ms(name, step, arg, width=44)
 
 
 def main(argv):

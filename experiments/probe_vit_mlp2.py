@@ -8,32 +8,20 @@ collapse reshape is a relayout (eats the win) or folds into the
 surrounding ops.
 """
 
-import time
+import functools
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import timed_ms  # noqa: E402 - shared methodology
+
+timed = functools.partial(timed_ms, width=36)
 
 B, S, D = 512, 196, 256
-
-
-def timed(name, fn, *args):
-    def looped(n):
-        def body(i, acc):
-            out = fn(*((args[0] + acc.astype(args[0].dtype) * 1e-30,)
-                       + args[1:]))
-            return acc + out.astype(jnp.float32).sum() * 1e-30
-
-        return lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    run = jax.jit(looped, static_argnums=0)
-    float(run(2)); float(run(22))
-    t0 = time.perf_counter(); float(run(2)); ts = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(run(22)); tl = time.perf_counter() - t0
-    ms = (tl - ts) / 20.0 * 1e3
-    print(f"{name:36s}: {ms:7.3f} ms/iter", flush=True)
-    return ms
 
 
 def main():

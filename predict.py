@@ -74,8 +74,8 @@ class Predictor:
                 "max_question_length metadata (reference .pth import or "
                 "pre-metadata save); assuming the reference default of 23 "
                 "tokens. Questions longer than that will be truncated — "
-                "re-save the checkpoint with utils.checkpoint.save_params "
-                "to record the trained length.",
+                "re-save the checkpoint with utils.checkpoint."
+                "save_checkpoint to record the trained length.",
                 stacklevel=2,
             )
         compute_dtype = (

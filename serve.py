@@ -90,7 +90,8 @@ class BatchingService:
         )
         self.lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "errors": 0, "timeouts": 0, "rejected": 0}
+                      "errors": 0, "timeouts": 0, "rejected": 0,
+                      "warmed_buckets": 0}
         self.latencies_ms: List[float] = []
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -238,9 +239,7 @@ class BatchingService:
                     )
                     return
                 with self.lock:
-                    self.stats["warmed_buckets"] = (
-                        self.stats.get("warmed_buckets", 0) + 1
-                    )
+                    self.stats["warmed_buckets"] += 1
                 if bucket == self.max_batch:
                     break
                 size *= 2

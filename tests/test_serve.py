@@ -236,6 +236,9 @@ def test_warmup_compiles_every_bucket():
 
     service = serve.BatchingService(_CountingPredictor(), max_batch=48)
     try:
+        # The key must exist (as 0) even before any warmup completes, so
+        # monitoring consumers see a stable /metrics schema.
+        assert service.metrics()["warmed_buckets"] == 0
         service.warmup(block=True)
     finally:
         service.stop()

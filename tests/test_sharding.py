@@ -329,3 +329,8 @@ def test_device_cache_sharded_layout():
                              {"d": _DS()}, mesh=mesh)["d"] is None
     assert plan_image_tables(conf("sharded", "auto", per_dev_fits),
                              {"d": _DS()}, mesh=mesh)["d"] is not None
+
+    # A negative budget is a config error, not a silent always-decline.
+    with pytest.raises(ValueError, match="device_image_cache_budget_gb"):
+        plan_image_tables(conf("replicated", "auto", -4), {"d": _DS()},
+                          mesh=mesh)
