@@ -183,6 +183,13 @@ class VQADataset:
     @staticmethod
     def _check_integrity(questions_json: dict, answers_json: dict) -> None:
         qs, anns = questions_json["questions"], answers_json["annotations"]
+        # zip() stops at the shorter side, so the count must be checked
+        # explicitly or a truncated annotations file would pass and crash
+        # later with an opaque length mismatch.
+        assert len(qs) == len(anns), (
+            f"Questions/annotations count mismatch: {len(qs)} questions "
+            f"vs {len(anns)} annotations"
+        )
         assert all(
             q["question_id"] == a["question_id"] for q, a in zip(qs, anns)
         ), "Questions not aligned with answers"
@@ -221,6 +228,20 @@ class VQADataset:
         cache size (real VQA 2.0 train2014 is ~24 GB)."""
         if self._features is None:
             feats = self._h5_handle()["features"]
+            if np.issubdtype(np.dtype(feats.dtype), np.integer):
+                # The h5 contract is a PROCESSED float feature cache
+                # (normalized CHW, the builder's/reference's fp16).
+                # Silently float-converting raw integer pixels would skip
+                # the model's uint8-gated normalization and train on
+                # values ~100x out of range with no error.
+                raise ValueError(
+                    f"image feature store {self.image_path!r} has integer "
+                    f"dtype {np.dtype(feats.dtype).name}: this is raw "
+                    "pixel data, not a processed feature cache. Use the "
+                    "online pipeline (tpu.online_images=true) for raw "
+                    "images, or build the cache with "
+                    "dl_vqa_tpu.data.images.preprocess_images"
+                )
             if feats.chunks is None and feats.compression is None:
                 offset = feats.id.get_offset()
                 if offset is not None:
@@ -287,14 +308,11 @@ class VQADataset:
         if isinstance(feats, np.memmap):
             # numpy fancy indexing handles unsorted/duplicate rows natively.
             return np.asarray(feats[rows], dtype=dtype)
-        # h5py fancy indexing needs sorted unique rows; gather then scatter.
-        order = np.argsort(rows, kind="stable")
-        sorted_rows = rows[order]
-        unique_rows, inverse = np.unique(sorted_rows, return_inverse=True)
+        # h5py fancy indexing needs sorted unique rows; np.unique sorts
+        # and return_inverse maps each original position back.
+        unique_rows, inverse = np.unique(rows, return_inverse=True)
         loaded = np.asarray(feats[unique_rows.tolist()], dtype=dtype)
-        out = np.empty((len(rows),) + feats.shape[1:], dtype=dtype)
-        out[order] = loaded[inverse]
-        return out
+        return loaded[inverse]
 
     def load_images_nhwc(self, sample_indices: np.ndarray,
                          dtype=np.float16) -> np.ndarray:

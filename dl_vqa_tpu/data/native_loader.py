@@ -110,34 +110,23 @@ class NativeJpegLoader:
 
     def __init__(self, image_dir: str, image_size: int,
                  central_fraction: float, num_threads: int = 8):
-        self._lib = load_native_library()
-        if self._lib is None:
+        if load_native_library() is None:
             raise RuntimeError(
                 "native image library unavailable; build with `make -C native`"
             )
         self.image_size = image_size
         self.central_fraction = central_fraction
         self.num_threads = num_threads
-        self._path_by_id: Dict[int, bytes] = {}
+        from dl_vqa_tpu.data.images import coco_id_from_filename
+
+        self._path_by_id: Dict[int, str] = {}
         for fname in os.listdir(image_dir):
             if fname.endswith(".jpg"):
-                img_id = int(fname.split("_")[-1].split(".")[0])
-                self._path_by_id[img_id] = os.path.join(
-                    image_dir, fname
-                ).encode()
+                img_id = coco_id_from_filename(fname)
+                self._path_by_id[img_id] = os.path.join(image_dir, fname)
 
     def load_batch(self, image_ids: np.ndarray) -> np.ndarray:
-        n = len(image_ids)
-        out = np.empty((n, self.image_size, self.image_size, 3),
-                       dtype=np.uint8)
-        paths = (ctypes.c_char_p * n)(
-            *[self._path_by_id[int(i)] for i in image_ids]
+        return process_paths(
+            [self._path_by_id[int(i)] for i in image_ids],
+            self.image_size, self.central_fraction, self.num_threads,
         )
-        failures = self._lib.vqa_process_batch(
-            paths, n, self.image_size, self.central_fraction,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            self.num_threads,
-        )
-        if failures:
-            raise IOError(f"{failures} image(s) failed to decode")
-        return out

@@ -26,7 +26,11 @@ from typing import Dict, Iterator
 import numpy as np
 
 from dl_vqa_tpu.data.dataset import VQADataset
-from dl_vqa_tpu.data.images import _center_crop, _resize_shorter_edge
+from dl_vqa_tpu.data.images import (
+    _center_crop,
+    _resize_shorter_edge,
+    coco_id_from_filename,
+)
 from dl_vqa_tpu.data.pipeline import Batcher
 
 __all__ = ["JpegLoader", "OnlineBatcher"]
@@ -44,7 +48,7 @@ class JpegLoader:
         self._path_by_id: Dict[int, str] = {}
         for fname in os.listdir(image_dir):
             if fname.endswith(".jpg"):
-                img_id = int(fname.split("_")[-1].split(".")[0])
+                img_id = coco_id_from_filename(fname)
                 self._path_by_id[img_id] = os.path.join(image_dir, fname)
         self._pool = concurrent.futures.ThreadPoolExecutor(num_threads)
 

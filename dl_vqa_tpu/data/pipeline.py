@@ -101,25 +101,49 @@ def prefetch_to_device(
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
     error_holder = []
+    # Set when the consumer abandons the generator (e.g. the train step
+    # raised mid-epoch): without it the producer would block forever on
+    # the bounded q.put, pinning ``depth`` device-resident batches and
+    # the thread — a real leak for multirun sweeps that run many trials
+    # in one process.
+    stop = threading.Event()
+
+    def _put_or_stop(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                q.put(_put(batch, sharding))
+                if not _put_or_stop(_put(batch, sharding)):
+                    return
         except BaseException as e:  # propagate into the consumer
             error_holder.append(e)
         finally:
-            q.put(sentinel)
+            _put_or_stop(sentinel)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error_holder:
-                raise error_holder[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error_holder:
+                    raise error_holder[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # drop any staged batches so the producer unblocks
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def _put(batch: Dict[str, np.ndarray], sharding) -> Dict:

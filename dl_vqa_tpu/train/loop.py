@@ -141,11 +141,32 @@ def train(
     dict (``Metrics/BestAccuracy`` etc.)."""
     tx = make_optimizer(train_params.lr)
     state = create_train_state(params, tx)
+    best_eval_score = 0.0
+    epochs_no_improve = 0
+    start_epoch = 0
     if opt_restore_path:
-        from dl_vqa_tpu.utils.checkpoint import restore_state
+        from dl_vqa_tpu.utils.checkpoint import restore_state_meta
 
-        state, restored_epoch = restore_state(state, opt_restore_path)
+        state, restore_meta = restore_state_meta(state, opt_restore_path)
+        restored_epoch = restore_meta.get("epoch")
         logger.write(f"Restored full train state, epoch: {restored_epoch}")
+        if "best_eval_score" in restore_meta:
+            # Rolling crash-recovery checkpoint (last.ckpt): CONTINUE the
+            # interrupted run — keep the best score (so a worse
+            # post-resume epoch can't overwrite the best checkpoint or
+            # under-report Metrics/BestAccuracy), the early-stop counter,
+            # and the epoch budget. Checkpoints without resume metadata
+            # (best-model saves, reference .pth warm starts) keep the
+            # reference's warm-start semantics: retrain from epoch 0.
+            best_eval_score = float(restore_meta["best_eval_score"])
+            epochs_no_improve = int(restore_meta.get("epochs_no_improve", 0))
+            if restored_epoch is not None:
+                start_epoch = int(restored_epoch) + 1
+            logger.write(
+                f"Resuming at epoch {start_epoch} with best eval score "
+                f"{best_eval_score:.4f} "
+                f"({epochs_no_improve} epochs without improvement)"
+            )
     if state_sharding is not None:
         # Tensor-parallel training: place params + Adam moments in their
         # mesh layout up front (see parallel.state_shardings). Must follow
@@ -160,8 +181,6 @@ def train(
                                pipeline_ctx=pipeline_ctx)
     rng = jax.random.PRNGKey(seed)
 
-    best_eval_score = 0.0
-    epochs_no_improve = 0
     metrics: Dict[str, float] = {}
     # Recorded in checkpoint metadata so the predictor encodes questions at
     # the trained length instead of assuming a default.
@@ -170,7 +189,7 @@ def train(
         {"max_question_length": int(max_q_len)} if max_q_len else None
     )
 
-    for epoch in range(train_params.num_epochs):
+    for epoch in range(start_epoch, train_params.num_epochs):
         # Profile the second epoch: the first is dominated by compilation.
         if profile_dir and epoch == 1:
             jax.profiler.start_trace(profile_dir)
@@ -185,7 +204,7 @@ def train(
         ):
             if train_image_table is not None:
                 batch = dict(batch, image_table=train_image_table)
-            if epoch == 0 and loss_total is None and hasattr(
+            if epoch == start_epoch and loss_total is None and hasattr(
                 logger, "report_compiled_graph"
             ):
                 # Once per run, on the first batch: the reference's TB
@@ -267,9 +286,15 @@ def train(
                 if getattr(logger, "checkpoint_backend", "npz") == "npz"
                 else "last.ckpt.orbax"
             )
+            # Resume progress rides the metadata so a restart continues
+            # the run instead of re-warm-starting it (best score, early-
+            # stop counter, epoch budget).
+            resume_meta = dict(ckpt_meta or {})
+            resume_meta["best_eval_score"] = float(best_eval_score)
+            resume_meta["epochs_no_improve"] = int(epochs_no_improve)
             ckpt.save_checkpoint_async(
                 os.path.join(logger.exp_dir, last_name), state,
-                epoch=epoch, model_cfg=model_cfg, extra_meta=ckpt_meta,
+                epoch=epoch, model_cfg=model_cfg, extra_meta=resume_meta,
             )
 
         metrics = get_metrics(best_eval_score, eval_score, train_loss)

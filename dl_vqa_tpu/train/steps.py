@@ -145,32 +145,45 @@ def make_train_step(
             micro = jax.tree_util.tree_map(
                 lambda x: x.reshape((accum_steps, -1) + x.shape[1:]), batch
             )
+            micro_size = batch_size // accum_steps
+            has_mask = "mask" in batch
 
             def body(carry, xs):
-                g_acc, l_acc, s_acc = carry
+                g_acc, l_acc, s_acc, n_acc = carry
                 mb, idx = xs
                 if image_table is not None:
                     mb = dict(mb, image_table=image_table)
                 (l, s), g = grads_of(
                     state.params, mb, jax.random.fold_in(step_rng, idx)
                 )
-                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                return (g_acc, l_acc + l, s_acc + s), None
+                # Per-micro loss/grads are normalized by the MICRO's real
+                # count (the loss clamps an all-padded micro's denom to
+                # 1). Averaging those means would misweight a padded
+                # final batch whose real samples land unevenly across
+                # micros, so rescale back to sum form here and normalize
+                # ONCE by the whole batch's real count below.
+                if has_mask:
+                    n = mb["mask"].sum().astype(jnp.float32)
+                else:
+                    n = jnp.float32(micro_size)
+                scale = jnp.maximum(n, 1.0)
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, gi: a + gi * scale.astype(gi.dtype), g_acc, g
+                )
+                return (g_acc, l_acc + l * scale, s_acc + s, n_acc + n), None
 
             init = (
                 jax.tree_util.tree_map(jnp.zeros_like, state.params),
-                jnp.zeros(()), jnp.zeros(()),
+                jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
             )
-            (g_sum, l_sum, score), _ = jax.lax.scan(
+            (g_sum, l_sum, score, n_total), _ = jax.lax.scan(
                 body, init, (micro, jnp.arange(accum_steps))
             )
-            # Per-micro losses are already sum/micro_batch (reference
-            # semantics), so their mean equals the full-batch loss; the
-            # score is a plain sum over samples.
+            denom = jnp.maximum(n_total, 1.0)
             grads = jax.tree_util.tree_map(
-                lambda g: g / accum_steps, g_sum
+                lambda g: g / denom.astype(g.dtype), g_sum
             )
-            loss = l_sum / accum_steps
+            loss = l_sum / denom
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

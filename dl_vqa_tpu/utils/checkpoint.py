@@ -29,7 +29,8 @@ import jax
 import numpy as np
 
 __all__ = ["save_checkpoint", "save_checkpoint_async", "load_checkpoint",
-           "load_params", "restore_state", "wait_for_async_saves"]
+           "load_params", "restore_state", "restore_state_meta",
+           "wait_for_async_saves"]
 
 _SEP = "|"
 
@@ -201,17 +202,25 @@ def _unflatten_into(template: Any, flat: Dict[str, np.ndarray]) -> Any:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def restore_state(template_state, path: str):
+def restore_state_meta(template_state, path: str):
     """Restore a full TrainState into the structure of ``template_state``.
-    Returns (state, epoch). Orbax checkpoints restore sharding-aware:
+    Returns (state, meta) with the FULL metadata dict — rolling
+    crash-recovery checkpoints carry resume progress there
+    (``best_eval_score``, ``epochs_no_improve``, ``epoch``) beyond the
+    plain ``epoch`` tag. Orbax checkpoints restore sharding-aware:
     sharded template leaves come back placed shard-by-shard on device."""
     from dl_vqa_tpu.utils import orbax_backend
 
     if orbax_backend.is_orbax_path(path):
-        state, meta = orbax_backend.restore(path, template=template_state)
-        return state, meta.get("epoch")
+        return orbax_backend.restore(path, template=template_state)
     flat, meta = load_checkpoint(path)
-    return _unflatten_into(template_state, flat), meta.get("epoch")
+    return _unflatten_into(template_state, flat), meta
+
+
+def restore_state(template_state, path: str):
+    """:func:`restore_state_meta`, returning just (state, epoch)."""
+    state, meta = restore_state_meta(template_state, path)
+    return state, meta.get("epoch")
 
 
 def load_params(path: str, params_template: Optional[Dict] = None,

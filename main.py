@@ -166,12 +166,19 @@ def main(cfg: dict) -> float:
     # for the shared policy and docs/PERF_NOTES.md for the measurement.
     from dl_vqa_tpu.data.device_cache import plan_image_tables
 
-    tables = plan_image_tables(
-        cfg, {"train": train_dataset, "val": val_dataset},
-        mesh=mesh, log=logger.write,
-    )
-    train_image_table = tables["train"]
-    eval_image_table = tables["val"]
+    if online_images:
+        # Online batches carry in-batch uint8 JPEGs decoded on the fly;
+        # the step never reads a feature table, so uploading one (a
+        # dataset built earlier in h5 mode can still have image rows)
+        # would only waste HBM.
+        train_image_table = eval_image_table = None
+    else:
+        tables = plan_image_tables(
+            cfg, {"train": train_dataset, "val": val_dataset},
+            mesh=mesh, log=logger.write,
+        )
+        train_image_table = tables["train"]
+        eval_image_table = tables["val"]
 
     if online_images:
         from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher

@@ -25,3 +25,20 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_jax_globals():
+    """Entry-point tests legitimately run main.py, which updates global
+    jax config (prng impl, debug_nans). Those leaks are real trouble for
+    later tests: a different prng impl changes the rng key SHAPE, so the
+    same step traces to a different program whose fusion/reduction
+    rounding differs — enough (Adam-amplified) to flake borderline
+    equality tolerances. Restore the globals after every test."""
+    prng = jax.config.jax_default_prng_impl
+    debug_nans = jax.config.jax_debug_nans
+    yield
+    if jax.config.jax_default_prng_impl != prng:
+        jax.config.update("jax_default_prng_impl", prng)
+    if jax.config.jax_debug_nans != debug_nans:
+        jax.config.update("jax_debug_nans", debug_nans)

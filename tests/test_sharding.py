@@ -155,6 +155,39 @@ def test_prefetch_propagates_producer_errors():
         list(it)
 
 
+def test_prefetch_producer_exits_when_consumer_abandons():
+    """Dropping the generator mid-epoch (e.g. the train step raised) must
+    release the producer thread and its staged device batches instead of
+    leaving it blocked forever on the bounded queue — multirun sweeps run
+    many trials per process and would otherwise accumulate the leaks."""
+    import time
+
+    from dl_vqa_tpu.data.pipeline import prefetch_to_device
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield {"x": np.full((4,), i, dtype=np.float32)}
+
+    it = prefetch_to_device(gen(), None, depth=2)
+    next(it)
+    it.close()  # consumer abandons mid-iteration
+    deadline = time.time() + 5.0
+    count = len(produced)
+    stable_since = time.time()
+    while time.time() < deadline:
+        time.sleep(0.1)
+        if len(produced) != count:
+            count = len(produced)
+            stable_since = time.time()
+        elif time.time() - stable_since > 1.0:
+            break  # producer stopped pulling from the iterator
+    assert time.time() < deadline, "producer still draining the iterator"
+    assert len(produced) < 1000
+
+
 def test_breakdown_eval_under_data_parallel_mesh():
     """Per-type segment sums must survive batch sharding (GSPMD handles
     the segment_sum collective)."""

@@ -352,10 +352,12 @@ def test_async_checkpoint_roundtrip(tmp_path):
 
 def test_grad_accumulation_matches_full_batch():
     """accum_steps=2/4 (tpu.grad_accum_steps) reproduces the
-    unaccumulated update: per-micro losses are sum/micro_size, so their
-    mean equals the full-batch loss and the averaged gradients equal the
-    full-batch gradients up to reduction order (dropout=0 here so the
-    paths are numerically comparable)."""
+    unaccumulated update: per-micro losses/grads are rescaled to sum
+    form and normalized once by the whole batch's real-sample count, so
+    the result equals the full-batch loss/gradients up to reduction
+    order (dropout=0 here so the paths are numerically comparable) —
+    including a padded final batch whose real samples split unevenly
+    across microbatches."""
     from dl_vqa_tpu.train.state import create_train_state
     from dl_vqa_tpu.train.steps import make_optimizer, make_train_step
 
@@ -380,6 +382,27 @@ def test_grad_accumulation_matches_full_batch():
         state, metrics = make_train_step(
             cfg, tx, compute_dtype=jnp.float32, accum_steps=accum
         )(fresh_state(), batch, rng)
+        assert np.isclose(float(metrics["loss"]), float(ref_metrics["loss"]),
+                          rtol=1e-5)
+        assert np.isclose(float(metrics["score"]),
+                          float(ref_metrics["score"]), rtol=1e-5)
+        for a, e in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(ref_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       atol=1e-5, rtol=1e-4)
+
+    # Padded final batch whose real samples land UNEVENLY across micros:
+    # with 5 real of 8 at accum 4, one micro is all-padding and the
+    # others hold 2/2/1 — per-micro mean-loss averaging would weight the
+    # lone sample 2x (and the padding micro 0) against the reference.
+    masked = dict(batch, mask=jnp.asarray([True] * 5 + [False] * 3))
+    ref_state, ref_metrics = make_train_step(
+        cfg, tx, compute_dtype=jnp.float32
+    )(fresh_state(), masked, rng)
+    for accum in (2, 4):
+        state, metrics = make_train_step(
+            cfg, tx, compute_dtype=jnp.float32, accum_steps=accum
+        )(fresh_state(), masked, rng)
         assert np.isclose(float(metrics["loss"]), float(ref_metrics["loss"]),
                           rtol=1e-5)
         assert np.isclose(float(metrics["score"]),
@@ -532,6 +555,81 @@ def test_training_learns_on_learnable_corpus(tmp_path):
     # ~13% -> 36% at 6 epochs, climbing).
     assert score > 45.0, f"no learning signal: {prior:.1f}% -> {score:.1f}%"
     assert score > prior + 20.0
+
+
+def test_crash_recovery_resume_continues_run(tmp_path):
+    """Restarting from the rolling last.ckpt CONTINUES the interrupted
+    run: the epoch counter, best eval score, and early-stop counter are
+    restored from the checkpoint metadata, so a worse post-resume epoch
+    cannot under-report Metrics/BestAccuracy or re-run the whole epoch
+    budget. (Checkpoints without resume metadata keep the reference's
+    warm-start semantics — retrain from epoch 0.)"""
+    import os
+
+    from dl_vqa_tpu.data import synthetic
+    from dl_vqa_tpu.data.dataset import VQADataset
+    from dl_vqa_tpu.data.pipeline import Batcher
+    from dl_vqa_tpu.train.loop import TrainParams, train
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    root = str(tmp_path / "data")
+    profile = synthetic.make_synthetic_corpus(
+        root, n_train=48, n_val=16, n_images=6, image_size=32,
+        max_answers=12, learnable=True,
+    )
+    train_ds = VQADataset(data_paths=profile["train_paths"],
+                          other_paths=profile["paths"],
+                          answerable_only=True)
+    val_ds = VQADataset(data_paths=profile["val_paths"],
+                        other_paths=profile["paths"])
+    cfg = _tiny_cfg(num_tokens=train_ds.num_tokens)
+
+    class _Logger:
+        def __init__(self, exp_dir):
+            self.exp_dir = exp_dir
+            self.epoch_lines = []
+            self.saved_epochs = []
+
+        def write(self, text, epoch=None, **kw):
+            pass
+
+        def write_epoch_statistics(self, **kw):
+            self.epoch_lines.append(kw["epoch"])
+
+        def report_scalars(self, scalars, epoch):
+            pass
+
+        def report_scalars_same_plot(self, scalars, epoch):
+            pass
+
+        def save_model(self, state, epoch, model_cfg=None, extra_meta=None):
+            self.saved_epochs.append(epoch)
+
+    def run(num_epochs, restore=None, seed=1):
+        logger = _Logger(str(tmp_path))
+        tp = TrainParams(n_epochs_stop=50, num_epochs=num_epochs, lr=1e-3,
+                         lr_decay=0.0, lr_gamma=0.0, lr_step_size=1,
+                         save_model=True, max_answers=cfg.max_answers)
+        metrics = train(
+            cfg, vqa.init(jax.random.PRNGKey(0), cfg),
+            Batcher(train_ds, 16, shuffle=True),
+            Batcher(val_ds, 16, shuffle=False),
+            tp, logger, opt_restore_path=restore,
+            compute_dtype=jnp.float32, seed=seed,
+        )
+        return metrics, logger
+
+    m1, log1 = run(num_epochs=2)
+    last = os.path.join(str(tmp_path), "last.ckpt")
+    assert os.path.exists(last)
+    meta = ckpt.load_checkpoint(last)[1]
+    assert meta["epoch"] == 1 and "best_eval_score" in meta
+
+    # Resume with a 3-epoch budget: exactly ONE more epoch runs (epoch 2)
+    # and the best score carries over instead of resetting to 0.
+    m2, log2 = run(num_epochs=3, restore=last)
+    assert log2.epoch_lines == [2]
+    assert m2["Metrics/BestAccuracy"] >= m1["Metrics/BestAccuracy"]
 
 
 def test_legacy_vit_list_checkpoint_migrates_to_stacked(tmp_path):
