@@ -108,7 +108,16 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
 
     # Image encoder
     if i.encoder == "cnn":
-        # len(num_channels)-1 conv blocks (reference architecture)
+        # len(num_channels)-1 conv blocks (reference architecture).
+        # The init key layout reserves keys[3..9] for conv blocks
+        # (attention starts at keys[10]); deeper stacks would silently
+        # draw correlated weights, so reject them loudly.
+        if len(i.num_channels) - 1 > 7:
+            raise ValueError(
+                f"image.num_channels has {len(i.num_channels)} entries "
+                f"({len(i.num_channels) - 1} conv blocks); at most 7 "
+                "blocks are supported"
+            )
         for block in range(len(i.num_channels) - 1):
             params["image"][f"conv{block}"] = init_lib.conv_params(
                 keys[3 + block], i.kernel_size,
@@ -178,6 +187,12 @@ def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
     'vit': patch transformer (new family; see models/vit.py); its block
     stack optionally runs pipeline-parallel (``pipeline_ctx``)."""
     if cfg.image.encoder == "vit":
+        if cfg.image.store_dtype != "compute":
+            raise ValueError(
+                f"image.store_dtype={cfg.image.store_dtype!r} is a CNN-stem "
+                "serving mode (quantized conv-output storage); the vit "
+                "encoder has no stem store — unset it or use encoder=cnn"
+            )
         from dl_vqa_tpu.models.vit import apply_vit_image
 
         return apply_vit_image(
@@ -245,32 +260,43 @@ def encode_text(params: Params, cfg: ModelConfig, questions: jnp.ndarray,
     embedded = _dropout(embedded, cfg.text.dropout, train, _site_rng(rng, 1))
     embedded = jnp.tanh(embedded).astype(dtype)
 
-    tokens = mask = None
+    tokens = mask = pooled = None
     if need_tokens:
-        from dl_vqa_tpu.ops.lstm import bilstm_token_states, lstm_scan_outputs
+        # The final cell states ride the SAME scans that emit the token
+        # states (two scans total, not four — the serial recurrence is
+        # this path's bottleneck); values are bit-identical to the
+        # separate pooled-only scans below.
+        from dl_vqa_tpu.ops.lstm import (
+            bilstm_tokens_and_final_cell,
+            lstm_scan_outputs_final,
+        )
 
         seq = questions.shape[1]
         mask = jnp.arange(seq)[None, :] < lengths[:, None]
         if cfg.text.bidirectional:
-            tokens = bilstm_token_states(
+            tokens, pooled = bilstm_tokens_and_final_cell(
                 embedded, lengths,
                 params["text"]["lstm_fwd"], params["text"]["lstm_bwd"],
             )
         else:
-            tokens = lstm_scan_outputs(
+            hs, pooled = lstm_scan_outputs_final(
                 embedded, lengths, params["text"]["lstm_fwd"]
-            ) * mask[..., None]
+            )
+            tokens = hs * mask[..., None]
 
-    if cfg.text.bidirectional:
-        pooled = bilstm_final_cell(
-            embedded, lengths,
-            params["text"]["lstm_fwd"], params["text"]["lstm_bwd"],
-            use_pallas=cfg.use_pallas,
-        )
-    else:
-        from dl_vqa_tpu.ops.lstm import lstm_scan
+    if pooled is None:
+        if cfg.text.bidirectional:
+            pooled = bilstm_final_cell(
+                embedded, lengths,
+                params["text"]["lstm_fwd"], params["text"]["lstm_bwd"],
+                use_pallas=cfg.use_pallas,
+            )
+        else:
+            from dl_vqa_tpu.ops.lstm import lstm_scan
 
-        _, pooled = lstm_scan(embedded, lengths, params["text"]["lstm_fwd"])
+            _, pooled = lstm_scan(
+                embedded, lengths, params["text"]["lstm_fwd"]
+            )
     return pooled, tokens, mask
 
 

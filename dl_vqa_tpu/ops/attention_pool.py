@@ -68,12 +68,14 @@ def attention_pool_pallas(v: jnp.ndarray, att: jnp.ndarray,
 
     # Batch tile: v block (double-buffered) plus per-glimpse f32
     # accumulation; the output block's sublane dim needs >= 8 rows.
-    bt = batch
+    # Fall back to the SMALLEST dividing candidate (like every other
+    # kernel's picker) — falling back to the full batch would stage the
+    # whole array in VMEM (~354 MB at reference scale) and fail to
+    # compile the moment no candidate fits the budget.
     per_sample = spatial * channels * max(v.dtype.itemsize, 2)
-    for cand in (64, 32, 16, 8):
-        if batch % cand == 0 and cand * per_sample <= 3 * 1024 * 1024:
-            bt = cand
-            break
+    divides = [c for c in (64, 32, 16, 8) if batch % c == 0]
+    fits = [c for c in divides if c * per_sample <= 3 * 1024 * 1024]
+    bt = fits[0] if fits else (divides[-1] if divides else batch)
 
     kernel = functools.partial(
         _pool_kernel, glimpses=glimpses, channels=channels, spatial=spatial
@@ -121,6 +123,9 @@ def attention_pool_fused(v: jnp.ndarray, att: jnp.ndarray,
     512, 26x26x256, 2 glimpses — the Pallas version is VPU-bound because
     Mosaic has no batched matvec). Kept as an optional path."""
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas and (on_tpu or interpret):
+    # The kernel's output block needs >= 8 sublane rows, so a batch not
+    # divisible by 8 cannot tile — and an untiled run would stage the
+    # whole v array in VMEM. Fall back to XLA rather than compile-fail.
+    if use_pallas and (on_tpu or interpret) and v.shape[0] % 8 == 0:
         return _pallas_with_grad(v, att, interpret)
     return attention_pool_reference(v, att)

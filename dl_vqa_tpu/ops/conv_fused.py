@@ -186,15 +186,17 @@ conv_relu_pool_quantstore.defvjp(_quantstore_fwd, _quantstore_bwd)
 
 # ------------------------------------------------------------- pallas
 
-def _pick_tr(hp: int, wc_pad: int, cin: int, cout: int) -> int:
+def _pick_tr(hp: int, wc_pad: int, cin: int, cout: int,
+             itemsize: int = 2) -> int:
     """Pooled rows per chunk: bound the f32 accumulator + a tap view to
-    ~3 MB of VMEM."""
+    ~3 MB of VMEM. ``itemsize`` is the INPUT dtype's (the tap view reads
+    input-typed blocks — an f32 input doubles the view bytes)."""
     budget = 3 * 1024 * 1024
     for tr in (32, 16, 8, 4, 2, 1):
         if tr > hp:
             continue
-        view = 2 * tr * wc_pad * cin * 2          # bf16 tap view
-        acc = 2 * tr * wc_pad * cout * 4          # f32 accumulator
+        view = 2 * tr * wc_pad * cin * max(itemsize, 2)  # tap view
+        acc = 2 * tr * wc_pad * cout * 4                 # f32 accumulator
         if 2 * view + acc <= budget:
             return tr
     return 1
@@ -267,7 +269,7 @@ def conv_relu_pool_pallas(
     w_pad = wc_pad + ksize - 1
     if w_pad > width:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, w_pad - width), (0, 0)))
-    tr = _pick_tr(hp, wc_pad, cin, cout)
+    tr = _pick_tr(hp, wc_pad, cin, cout, x.dtype.itemsize)
 
     w2 = w.astype(x.dtype).reshape(ksize * ksize, cin, cout)
     bias = b.reshape(1, cout)
@@ -415,10 +417,11 @@ def conv_relu_pool_stem(x, w, b, interpret=False):
     kdim = win * win * cin
     wp_pad = -(-wp // 16) * 16
 
-    # Pad W so strided windows exist for the padded pooled columns, and H
-    # for the tail-chunk clamp used below.
+    # Pad W so strided windows exist for the padded pooled columns. H
+    # needs no padding: the tallest slice below reads rows up to
+    # di + 2*(hp-1) < 2*hp + ksize - 1 <= h (hp = (h-ksize+1)//2), an
+    # invariant of the pooled-resolution geometry.
     need_w = 2 * (wp_pad - 1) + win
-    need_h = 2 * (hp - 1) + win
     pad_w = max(0, need_w - width)
     if pad_w:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_w), (0, 0)))

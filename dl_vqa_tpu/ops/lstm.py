@@ -33,7 +33,9 @@ __all__ = [
     "lstm_cell",
     "lstm_scan",
     "lstm_scan_outputs",
+    "lstm_scan_outputs_final",
     "bilstm_token_states",
+    "bilstm_tokens_and_final_cell",
     "reverse_valid_prefix",
     "bilstm_final_cell",
 ]
@@ -101,6 +103,20 @@ def lstm_scan_outputs(
 ) -> jnp.ndarray:
     """Masked LSTM scan returning the hidden state at EVERY step,
     [B, T, H]; pad positions carry the last valid state (callers mask)."""
+    return lstm_scan_outputs_final(x, lengths, params)[0]
+
+
+def lstm_scan_outputs_final(
+    x: jnp.ndarray,        # [B, T, E]
+    lengths: jnp.ndarray,  # [B] int
+    params: Dict[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked LSTM scan returning (per-step h [B, T, H], final c [B, H])
+    from ONE scan — the final cell state is the scan carry that
+    :func:`lstm_scan_outputs` would discard, so callers needing both
+    (the 'co' attention text path) avoid re-running the serial
+    recurrence. The final c is bit-identical to :func:`lstm_scan`'s
+    (same masked cell updates in the same order)."""
     w_ih, w_hh, b = params["w_ih"], params["w_hh"], params["b"]
     batch, seq_len, _ = x.shape
     hidden = w_hh.shape[0]
@@ -128,8 +144,8 @@ def lstm_scan_outputs(
         jnp.zeros((batch, hidden), dtype=x_proj.dtype),
         jnp.zeros((batch, hidden), dtype=x_proj.dtype),
     )
-    _, hs = jax.lax.scan(step, init, (x_proj_t, step_mask))
-    return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+    (_, c_final), hs = jax.lax.scan(step, init, (x_proj_t, step_mask))
+    return jnp.swapaxes(hs, 0, 1), c_final  # [B, T, H], [B, H]
 
 
 def bilstm_token_states(
@@ -140,9 +156,25 @@ def bilstm_token_states(
 ) -> jnp.ndarray:
     """Per-token bi-LSTM states [B, T, 2H] (packed-LSTM output semantics:
     backward states re-aligned to original positions; pads zeroed)."""
+    return bilstm_tokens_and_final_cell(x, lengths, fwd_params,
+                                        bwd_params)[0]
+
+
+def bilstm_tokens_and_final_cell(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    fwd_params: Dict[str, jnp.ndarray],
+    bwd_params: Dict[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(per-token states [B, T, 2H], final cells [c_fwd, c_bwd] [B, 2H])
+    from TWO scans instead of the four that separate
+    :func:`bilstm_token_states` + :func:`bilstm_final_cell` calls would
+    run — each direction's final cell rides the same scan that emits its
+    token states (the serial recurrence is the text path's bottleneck).
+    Values are bit-identical to the separate calls."""
     seq_len = x.shape[1]
-    h_fwd = lstm_scan_outputs(x, lengths, fwd_params)
-    h_bwd_rev = lstm_scan_outputs(
+    h_fwd, c_fwd = lstm_scan_outputs_final(x, lengths, fwd_params)
+    h_bwd_rev, c_bwd = lstm_scan_outputs_final(
         reverse_valid_prefix(x, lengths), lengths, bwd_params
     )
     # position t (original) was processed at step len-1-t of the reversed scan
@@ -151,7 +183,7 @@ def bilstm_token_states(
         jnp.arange(seq_len, dtype=lengths.dtype)[None, :] < lengths[:, None]
     )
     tokens = jnp.concatenate([h_fwd, h_bwd], axis=-1)
-    return tokens * mask[..., None]
+    return tokens * mask[..., None], jnp.concatenate([c_fwd, c_bwd], axis=-1)
 
 
 def reverse_valid_prefix(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:

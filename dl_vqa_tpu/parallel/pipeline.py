@@ -34,7 +34,6 @@ from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -60,16 +59,14 @@ def make_pipeline_mesh(
     stage: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """A ('data', 'stage') mesh: batch sharding x pipeline stages."""
-    devices = list(devices if devices is not None else jax.devices())
-    n = data * stage
-    if n > len(devices):
-        raise ValueError(
-            f"pipeline mesh {data}x{stage} needs {n} devices, have "
-            f"{len(devices)}"
-        )
-    grid = np.asarray(devices[:n]).reshape(data, stage)
-    return Mesh(grid, axis_names=("data", "stage"))
+    """A pipeline mesh: delegates to :func:`parallel.mesh.make_mesh`
+    (model=1) so tests exercise the same ('data', 'model', 'stage') mesh
+    layout production builds — a separate 2-axis constructor here once
+    let pipeline code be validated against a mesh shape main.py never
+    makes."""
+    from dl_vqa_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=data, model=1, stage=stage, devices=devices)
 
 
 def stack_layers(layers: Sequence[Any]):

@@ -137,7 +137,11 @@ def main(cfg: dict) -> float:
         micro = cfg["tpu"].get("pipeline_microbatches", 0) or stage
         pipeline_ctx = PipelineContext(mesh, num_microbatches=micro)
     state_sharding = None
-    if mesh.shape["model"] > 1:
+    # Param placement is needed for BOTH tp (model > 1) and pp (stage >
+    # 1): a pure-pipeline mesh still needs the ViT layer stack placed on
+    # its 'stage' axis, or the shard_map in_specs re-shard the replicated
+    # stack inside every step (involuntary rematerialization).
+    if mesh.shape["model"] > 1 or stage > 1:
         from dl_vqa_tpu.parallel import param_shardings, state_shardings
         from dl_vqa_tpu.train.steps import make_optimizer
         from dl_vqa_tpu.train.state import create_train_state
