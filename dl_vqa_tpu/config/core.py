@@ -53,8 +53,9 @@ def _parse_value(raw: str) -> Any:
         # literal string (e.g. train.attention.do_option=*).
         return raw
     # YAML 1.1 treats '5e-4' (no mantissa dot) as a string; Hydra users
-    # expect a float.
-    if isinstance(value, str) and _SCI_FLOAT.match(value):
+    # expect a float. Only coerce when the input was UNQUOTED: an
+    # explicitly quoted override (key='"2e5"') means the literal string.
+    if isinstance(value, str) and value == raw and _SCI_FLOAT.match(value):
         return float(value)
     return value
 

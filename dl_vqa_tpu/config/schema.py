@@ -39,9 +39,6 @@ _PROFILE = {
     "val_paths": _SPLIT_PATHS,
 }
 
-# (int, float) pairs mean "number"; YAML parses 5e-4 as float but 1 as int.
-_NUMBER = (int, float)
-
 CFG_SCHEMA: Dict[str, Any] = {
     "main": {
         "experiment_name_prefix": str,

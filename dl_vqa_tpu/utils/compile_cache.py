@@ -29,7 +29,9 @@ def enable(cache_dir: str | None = None) -> str:
     import jax
 
     env = os.environ.get("DL_VQA_COMPILE_CACHE")
-    if env == "":
+    # An explicit argument wins over the environment: the empty-string
+    # env var disables only the DEFAULT cache location.
+    if env == "" and cache_dir is None:
         return ""
     path = os.path.abspath(cache_dir or env or _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)

@@ -43,7 +43,28 @@ class TrainLogger:
         stamp = f"{now.month}_{now.day}_{now.hour}_{now.minute}_{now.second}"
         self.exp_name = f"{exp_name_prefix}_{stamp}"
         self.exp_dir = os.path.join(logs_dir, self.exp_name)
-        os.makedirs(self.exp_dir, exist_ok=True)
+        # The second-resolution stamp (reference format) collides when
+        # two trials start within one second (fast sweeps, parallel
+        # processes) — they would then share the .log file AND the
+        # model.ckpt path, one best checkpoint silently overwriting the
+        # other. Claim the directory atomically; on collision, suffix.
+        for attempt in range(1000):
+            candidate = (
+                self.exp_dir if attempt == 0 else f"{self.exp_dir}_{attempt}"
+            )
+            try:
+                os.makedirs(candidate, exist_ok=False)
+            except FileExistsError:
+                continue
+            if attempt:
+                self.exp_name = f"{self.exp_name}_{attempt}"
+            self.exp_dir = candidate
+            break
+        else:
+            raise RuntimeError(
+                f"could not claim a unique experiment dir under "
+                f"{logs_dir!r} (1000 collisions for stamp {stamp})"
+            )
 
         try:
             from tensorboardX import SummaryWriter

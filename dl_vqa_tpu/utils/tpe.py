@@ -73,8 +73,20 @@ def suggest(
     keys = list(space)
     tried = {tuple(a[k] for k in keys) for a, _ in history}
 
-    pool = _candidate_pool(space, rng)
-    untried = [c for c in pool if c not in tried]
+    # For sampled (non-enumerable) spaces a single 256-draw pool can by
+    # bad luck consist entirely of already-tried points — that means
+    # "resample", not "space exhausted" (thousands of untried points
+    # remain). Retry a few rounds before giving up; enumerable spaces
+    # exhaust for real on the first round (the pool IS the grid).
+    size = 1
+    for values in space.values():
+        size *= len(values)
+    untried: List[Tuple] = []
+    for _ in range(1 if size <= _MAX_ENUMERATED_GRID else 16):
+        pool = _candidate_pool(space, rng)
+        untried = [c for c in pool if c not in tried]
+        if untried:
+            break
     if not untried:
         return None
 

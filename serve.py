@@ -48,7 +48,7 @@ _enable_compile_cache()
 
 class _Pending:
     __slots__ = ("image", "encoded", "length", "top_k", "event", "result",
-                 "error", "enqueued_at")
+                 "error", "enqueued_at", "abandoned")
 
     def __init__(self, image, encoded, length, top_k):
         self.image = image
@@ -59,6 +59,9 @@ class _Pending:
         self.result = None
         self.error: Optional[str] = None
         self.enqueued_at = time.perf_counter()
+        # Set by submit() on timeout: the handler is gone, so the batcher
+        # must drop the entry instead of running a forward nobody reads.
+        self.abandoned = False
 
 
 class ServiceOverloaded(RuntimeError):
@@ -118,6 +121,10 @@ class BatchingService:
         if timeout_s is None:
             timeout_s = self.request_timeout_s
         if not pending.event.wait(timeout_s):
+            # Mark it so the batcher skips the entry if it is still
+            # queued — zombie forwards would prolong the very overload
+            # that caused the timeout.
+            pending.abandoned = True
             with self.lock:
                 self.stats["timeouts"] += 1
             raise TimeoutError("inference timed out")
@@ -169,6 +176,7 @@ class BatchingService:
 
         while not self._stop.is_set():
             batch = self._drain()
+            batch = [p for p in batch if not p.abandoned]
             if not batch:
                 continue
             try:
@@ -303,12 +311,22 @@ def make_handler(service: BatchingService, predictor):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
-                if length > self.MAX_BODY_BYTES:
-                    self._reply(413, {"error": "request body too large"})
+                # Lower bound too: a negative Content-Length would make
+                # rfile.read(-1) read until EOF, bypassing the cap.
+                if length <= 0 or length > self.MAX_BODY_BYTES:
+                    self._reply(
+                        413 if length > 0 else 400,
+                        {"error": "bad or missing Content-Length"
+                         if length <= 0 else "request body too large"},
+                    )
                     return
                 req = json.loads(self.rfile.read(length))
                 question = req["question"]
+                if not isinstance(question, str):
+                    raise ValueError("'question' must be a string")
                 top_k = int(req.get("top_k", 5))
+                if top_k < 1:
+                    raise ValueError("'top_k' must be >= 1")
                 from PIL import Image
 
                 raw = base64.b64decode(req["image_b64"])
@@ -322,6 +340,8 @@ def make_handler(service: BatchingService, predictor):
                 self._reply(200, {"answers": answers})
             except ServiceOverloaded as exc:
                 self._reply(503, {"error": str(exc)})
+            except TimeoutError as exc:
+                self._reply(504, {"error": str(exc)})
             except Exception as exc:  # noqa: BLE001 - inference failure
                 self._reply(500, {"error": str(exc)})
 

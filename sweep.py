@@ -36,10 +36,12 @@ DEFAULT_SPACE: Dict[str, List] = {
 
 
 def _parse_scalar(raw: str):
-    try:
-        return yaml.safe_load(raw)
-    except yaml.YAMLError:
-        return raw  # bare '*', '|' etc. are YAML syntax; treat as literal
+    # One parser for override values everywhere: config.core's also
+    # coerces unquoted '5e-4' to a float (YAML 1.1 reads it as a
+    # string), so sweep-space values match what the dotlist would set.
+    from dl_vqa_tpu.config.core import _parse_value
+
+    return _parse_value(raw)
 
 
 def parse_space(items: Sequence[str]) -> Dict[str, List]:

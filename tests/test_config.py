@@ -101,3 +101,23 @@ def test_shared_image_store_counted_once(tmp_path):
     assert tables["a"] is tables["b"]          # one upload, shared
     nbytes = ds_a.image_store_nbytes
     assert f"{nbytes / 2**20:.0f} MiB" in logs[0]  # counted once
+
+
+def test_sci_float_coercion_spares_quoted_strings():
+    """Unquoted '5e-4' coerces to float (YAML 1.1 reads it as a string,
+    Hydra users mean a float); an explicitly QUOTED override means the
+    literal string and must survive as one."""
+    from dl_vqa_tpu.config.core import _parse_value
+
+    assert _parse_value("5e-4") == 5e-4
+    assert _parse_value('"2e5"') == "2e5"
+    assert _parse_value("'5e-4'") == "5e-4"
+
+
+def test_sweep_space_values_match_dotlist_parser():
+    """Sweep-space scalars go through the same parser as dotlist
+    overrides, so 'train.lr.lr_value=5e-4,1e-3' yields floats."""
+    import sweep
+
+    space = sweep.parse_space(["train.lr.lr_value=5e-4,1e-3"])
+    assert space["train.lr.lr_value"] == [5e-4, 1e-3]

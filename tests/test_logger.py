@@ -81,3 +81,19 @@ def test_report_compiled_graph_dumps_hlo(logger):
 
     # Failure degrades to a warning, never an exception.
     assert logger.report_compiled_graph(step, "not-an-array") is None
+
+
+def test_same_second_loggers_get_distinct_dirs(tmp_path):
+    """Two trials starting within one wall-clock second must not share
+    an experiment dir (they would interleave .log lines and overwrite
+    each other's model.ckpt)."""
+    from dl_vqa_tpu.utils.logger import TrainLogger
+
+    a = TrainLogger("t", logs_dir=str(tmp_path))
+    b = TrainLogger("t", logs_dir=str(tmp_path))
+    try:
+        assert a.exp_dir != b.exp_dir
+        assert a.exp_name != b.exp_name
+    finally:
+        a.close()
+        b.close()
