@@ -34,7 +34,8 @@ import numpy as np
 
 from dl_vqa_tpu.data import text as vqa_text
 
-__all__ = ["VQADataset", "encode_question", "encode_answers"]
+__all__ = ["VQADataset", "encode_question", "encode_answers",
+           "load_or_build_val_dataset"]
 
 
 def encode_question(
@@ -381,3 +382,48 @@ class VQADataset:
         """Map the reference's ``*.pkl`` cache key to our npz file."""
         root, _ = os.path.splitext(configured_path)
         return root + ".npz"
+
+
+def load_or_build_val_dataset(cfg, profile, logger=None, log=None,
+                              require_image_cache=True):
+    """Shared val-dataset load/build for the eval-style entry points
+    (evaluate_vqa.py, predict.py --submission) so the guard logic cannot
+    drift between them: builds the h5 image cache if absent (when
+    required), and rebuilds the npz dataset cache when it was written by
+    an older version (KeyError on load) or in online mode without the
+    image-row map this caller needs."""
+    from dl_vqa_tpu.data.images import preprocess_images
+
+    log = log or (lambda *_: None)
+    val_imgs = profile["val_paths"]["processed_imgs"]
+    if require_image_cache and not os.path.exists(val_imgs):
+        preprocess_images(
+            other_paths=profile["paths"],
+            data_paths=profile["val_paths"],
+            image_size=cfg["train"]["image_size"],
+            central_fraction=cfg["train"]["central_fraction"],
+            processed_path=val_imgs,
+            log=log,
+            backend=cfg["tpu"]["image_builder_backend"],
+        )
+
+    cache = VQADataset.cache_path(profile["val_paths"]["vqaDataset"])
+    dataset = None
+    if os.path.exists(cache):
+        try:
+            dataset = VQADataset.load(cache)
+        except KeyError:
+            dataset = None  # cache from an older version; rebuild
+        if (dataset is not None and require_image_cache
+                and not dataset.has_image_rows):
+            dataset = None  # cache from online mode; rebuild with rows
+    if dataset is None:
+        dataset = VQADataset(
+            data_paths=profile["val_paths"],
+            other_paths=profile["paths"],
+            logger=logger,
+            answerable_only=False,
+            require_image_cache=require_image_cache,
+        )
+        dataset.save(cache)
+    return dataset

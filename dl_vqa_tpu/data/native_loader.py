@@ -100,7 +100,33 @@ def process_paths(paths, image_size: int, central_fraction: float,
         num_threads,
     )
     if failures:
-        raise IOError(f"{failures} image(s) failed to decode")
+        # libjpeg hard-fails on files PIL decodes (CMYK/Adobe-transform
+        # JPEGs, PNGs with a .jpg name). Identify the failed slots with
+        # the per-image entry point and rescue them through the PIL
+        # reference transform so the native path stays a true drop-in —
+        # a real decode failure (corrupt file) still raises, via PIL.
+        from PIL import Image
+
+        from dl_vqa_tpu.data.images import _center_crop, _resize_shorter_edge
+
+        rescued = 0
+        for i, p in enumerate(paths):
+            rc = lib.vqa_decode_one(
+                os.fsencode(p), image_size, central_fraction,
+                out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if rc == 0:
+                continue
+            with Image.open(p) as img:  # raises on truly bad files
+                img = img.convert("RGB")
+                img = _resize_shorter_edge(
+                    img, int(image_size / central_fraction)
+                )
+                img = _center_crop(img, image_size)
+                out[i] = np.asarray(img, dtype=np.uint8)
+            rescued += 1
+            if rescued == failures:
+                break
     return out
 
 

@@ -131,7 +131,12 @@ def _strip_punctuation(text: str) -> str:
             out = out.replace(ch, "")
         else:
             out = out.replace(ch, " ")
-    return _PERIOD_STRIP.sub("", out)
+    # The reference calls period_strip.sub("", text, re.UNICODE)
+    # (ref data_preprocessing.py:279) — but Pattern.sub's third
+    # positional parameter is COUNT, and re.UNICODE == 32, so only the
+    # first 32 period matches are stripped. Reproduced for byte parity
+    # (same class of load-bearing quirk as the malformed lookbehind).
+    return _PERIOD_STRIP.sub("", out, 32)
 
 
 def _canonicalize_words(text: str) -> str:

@@ -35,8 +35,12 @@ __all__ = [
 # ------------------------------------------------------------- stacked
 
 def init_stacked_attention(key, v_features: int, q_features: int,
-                           mid_features: int, glimpses: int) -> Dict:
+                           mid_features: int, glimpses: int,
+                           do_option: str = "+") -> Dict:
     keys = jax.random.split(key, 2 + 2 * glimpses)
+    # '|' fuses by concatenation, so the score conv reads 2*mid features
+    # (same sizing rule as the 'single' and 'co' variants).
+    x_in = 2 * mid_features if do_option == "|" else mid_features
     params: Dict = {
         "v_conv": init_lib.conv_params(keys[0], 1, v_features, mid_features,
                                        use_bias=False),
@@ -46,7 +50,7 @@ def init_stacked_attention(key, v_features: int, q_features: int,
     for g in range(glimpses):
         k_score, k_update = keys[2 + 2 * g : 4 + 2 * g]
         layer = {
-            "score": init_lib.conv_params(k_score, 1, mid_features, 1),
+            "score": init_lib.conv_params(k_score, 1, x_in, 1),
         }
         if g + 1 < glimpses:
             layer["update"] = init_lib.linear_params(

@@ -151,7 +151,8 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
         from dl_vqa_tpu.models.fusion import init_stacked_attention
 
         params["attention"] = init_stacked_attention(
-            keys[10], v_features, q_features, a.hidden_dim, a.glimpses
+            keys[10], v_features, q_features, a.hidden_dim, a.glimpses,
+            do_option=a.do_option,
         )
     elif a.variant == "co":
         from dl_vqa_tpu.models.fusion import init_co_attention

@@ -23,8 +23,7 @@ def evaluate_hw2(overrides=()) -> float:
 
     from dl_vqa_tpu import config as config_mod
     from dl_vqa_tpu.data import vocab as vocab_mod
-    from dl_vqa_tpu.data.dataset import VQADataset
-    from dl_vqa_tpu.data.images import preprocess_images
+    from dl_vqa_tpu.data.dataset import load_or_build_val_dataset
     from dl_vqa_tpu.data.pipeline import Batcher
     from dl_vqa_tpu.models import ModelConfig, vqa
     from dl_vqa_tpu.parallel import batch_sharding as make_batch_sharding
@@ -55,37 +54,10 @@ def evaluate_hw2(overrides=()) -> float:
         )
 
     online_images = cfg["tpu"]["online_images"]
-    val_imgs = profile["val_paths"]["processed_imgs"]
-    if not online_images and not os.path.exists(val_imgs):
-        preprocess_images(
-            other_paths=profile["paths"],
-            data_paths=profile["val_paths"],
-            image_size=cfg["train"]["image_size"],
-            central_fraction=cfg["train"]["central_fraction"],
-            processed_path=val_imgs,
-            log=logger.write,
-            backend=cfg["tpu"]["image_builder_backend"],
-        )
-
-    cache = VQADataset.cache_path(profile["val_paths"]["vqaDataset"])
-    val_dataset = None
-    if os.path.exists(cache):
-        try:
-            val_dataset = VQADataset.load(cache)
-        except KeyError:
-            val_dataset = None  # cache from an older version; rebuild
-        if (val_dataset is not None and not online_images
-                and not val_dataset.has_image_rows):
-            val_dataset = None  # cache from online mode; rebuild with rows
-    if val_dataset is None:
-        val_dataset = VQADataset(
-            data_paths=profile["val_paths"],
-            other_paths=profile["paths"],
-            logger=logger,
-            answerable_only=False,
-            require_image_cache=not online_images,
-        )
-        val_dataset.save(cache)
+    val_dataset = load_or_build_val_dataset(
+        cfg, profile, logger=logger, log=logger.write,
+        require_image_cache=not online_images,
+    )
 
     model_cfg = ModelConfig.from_cfg(
         cfg["train"], val_dataset.num_tokens,

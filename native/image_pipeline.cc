@@ -158,8 +158,8 @@ void VerticalPass(const float* in, float* out, int in_h, int out_h,
 }
 
 // Full reference transform -> uint8 [image_size, image_size, 3].
-bool TransformOne(const char* path, int image_size, double central_fraction,
-                  uint8_t* out) {
+bool TransformOneImpl(const char* path, int image_size,
+                      double central_fraction, uint8_t* out) {
   std::vector<uint8_t> pixels;
   int w = 0, h = 0;
   if (!DecodeJpeg(path, &pixels, &w, &h)) return false;
@@ -200,6 +200,19 @@ bool TransformOne(const char* path, int image_size, double central_fraction,
     }
   }
   return true;
+}
+
+// Exception firewall: a corrupt header can declare huge dimensions whose
+// buffer allocations throw std::bad_alloc — an exception escaping a
+// std::thread worker calls std::terminate and kills the host process,
+// violating the "returns the number of failures" contract.
+bool TransformOne(const char* path, int image_size, double central_fraction,
+                  uint8_t* out) {
+  try {
+    return TransformOneImpl(path, image_size, central_fraction, out);
+  } catch (...) {
+    return false;
+  }
 }
 
 }  // namespace

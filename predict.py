@@ -97,6 +97,7 @@ class Predictor:
                          max_len: Optional[int] = None):
         import numpy as np
 
+        from dl_vqa_tpu.data.dataset import encode_question
         from dl_vqa_tpu.data.text import normalize_question
 
         if max_len is None:
@@ -106,10 +107,13 @@ class Predictor:
         for i, q in enumerate(questions):
             if not q.endswith("?"):
                 q = q + "?"
+            # Same tokenizer + id encoding as training (dataset.py); only
+            # the length clamp is serving-specific.
             tokens = normalize_question(q)[:max_len]
-            for j, tok in enumerate(tokens):
-                encoded[i, j] = self.question_vocab.get(tok, 0)
-            lengths[i] = max(len(tokens), 1)
+            encoded[i], n = encode_question(
+                tokens, self.question_vocab, max_len
+            )
+            lengths[i] = max(n, 1)
         return encoded, lengths
 
     # ------------------------------------------------------------- images
@@ -242,15 +246,15 @@ def main(argv=None) -> int:
     )
 
     if args.submission:
-        from dl_vqa_tpu.data.dataset import VQADataset
+        from dl_vqa_tpu.data.dataset import load_or_build_val_dataset
         from dl_vqa_tpu.data.pipeline import Batcher
 
-        cache = VQADataset.cache_path(profile["val_paths"]["vqaDataset"])
-        dataset = (
-            VQADataset.load(cache) if os.path.exists(cache)
-            else VQADataset(
-                data_paths=profile["val_paths"], other_paths=profile["paths"]
-            )
+        # Shared guards with evaluate_vqa.py (stale/older-version cache
+        # rebuild, missing h5 build). The submission path always reads
+        # the h5 pipeline — require image rows even if the config was
+        # last used in online mode.
+        dataset = load_or_build_val_dataset(
+            cfg, profile, log=print, require_image_cache=True
         )
         from dl_vqa_tpu.data.device_cache import plan_image_tables
 

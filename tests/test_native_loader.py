@@ -67,13 +67,36 @@ def test_offline_builder_native_matches_pil(image_dir, tmp_path):
 
 
 def test_native_failure_reporting(image_dir):
+    """A truly undecodable file still raises (via the PIL rescue path,
+    which is the arbiter of what is decodable)."""
     from dl_vqa_tpu.data.native_loader import NativeJpegLoader
 
     root, ids = image_dir
     native = NativeJpegLoader(root, image_size=96, central_fraction=0.875)
-    native._path_by_id[99999] = b"/nonexistent/file.jpg"
-    with pytest.raises(IOError, match="failed to decode"):
+    native._path_by_id[99999] = "/nonexistent/file.jpg"
+    with pytest.raises(OSError):
         native.load_batch(np.array([ids[0], 99999]))
+
+
+def test_native_rescues_pil_decodable_files(image_dir, tmp_path):
+    """libjpeg hard-fails on non-JPEG bytes with a .jpg name (and CMYK
+    JPEGs); the wrapper must rescue those through PIL so the native
+    loader stays a drop-in for the PIL path instead of aborting runs."""
+    from PIL import Image
+
+    from dl_vqa_tpu.data.native_loader import NativeJpegLoader
+
+    root, ids = image_dir
+    png_as_jpg = str(tmp_path / "COCO_val2014_000000099998.jpg")
+    rgb = np.arange(96 * 128 * 3, dtype=np.uint8).reshape(96, 128, 3)
+    Image.fromarray(rgb).save(png_as_jpg, format="PNG")  # PNG bytes, .jpg name
+
+    native = NativeJpegLoader(root, image_size=64, central_fraction=0.875)
+    native._path_by_id[99998] = png_as_jpg
+    out = native.load_batch(np.array([ids[0], 99998]))
+    assert out.shape == (2, 64, 64, 3)
+    # The rescued slot holds real (PIL-decoded) pixels, not zero fill.
+    assert out[1].any()
 
 
 def test_native_portrait_and_landscape(image_dir):

@@ -139,3 +139,13 @@ def test_answer_normalizer_fuzz_parity():
             for _ in range(n)
         )
         assert vqa_text.normalize_answer(raw) == ref.preprocess_answer(raw), raw
+
+
+@pytest.mark.skipif(_reference_module() is None, reason="reference not available")
+def test_period_strip_count_quirk_matches_reference():
+    """The reference passes re.UNICODE (== 32) as Pattern.sub's COUNT
+    argument, so only the FIRST 32 period matches are stripped; an
+    answer with more periods must normalize identically here."""
+    ref = _reference_module()
+    raw = "a" + "." * 40 + "b ...... yes"
+    assert vqa_text.normalize_answer(raw) == ref.preprocess_answer(raw)
