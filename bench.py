@@ -34,11 +34,13 @@ POOL = 4          # distinct staged batches, cycled
 ITERS = 50        # eval steps per timed run
 
 
-def build(vit: bool = False, f8_stem: bool = False):
+def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False):
     import dataclasses
 
     from dl_vqa_tpu.models import ModelConfig, vqa
 
+    if f8_stem and int8_stem:
+        raise SystemExit("--f8-stem and --int8-stem are mutually exclusive")
     cfg = ModelConfig(num_tokens=15_193)  # full reference-scale defaults
     if vit:
         cfg = dataclasses.replace(
@@ -55,6 +57,19 @@ def build(vit: bool = False, f8_stem: bool = False):
             cfg, image=dataclasses.replace(cfg.image, store_dtype="f8e4m3")
         )
     params = vqa.init(jax.random.PRNGKey(0), cfg)
+    if int8_stem:
+        # Opt-in W8A8 serving mode (`--int8-stem`): s8xs8->s32 MXU convs
+        # with static PTQ scales, calibrated here on a sample batch (the
+        # bench inputs ARE its data distribution; see ops/conv_int8).
+        from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
+
+        cal = jnp.asarray(
+            np.random.default_rng(7).standard_normal(
+                (64, cfg.image_size, cfg.image_size, 3)
+            ),
+            dtype=jnp.bfloat16,
+        )
+        cfg = with_calibrated_scales(cfg, params, cal)
     return cfg, params
 
 
@@ -192,11 +207,11 @@ def bench_train(vit: bool = False, f8_stem: bool = False) -> None:
 
 
 def bench_latency(batch_size: int = 8, vit: bool = False,
-                  f8_stem: bool = False) -> None:
+                  f8_stem: bool = False, int8_stem: bool = False) -> None:
     """Optional serving-latency mode (`python bench.py --latency [--vit]`):
     per-query device latency at a small batch, measured with the
     on-device loop (amortizing dispatch RTT like a pipelined server)."""
-    cfg, params = build(vit=vit, f8_stem=f8_stem)
+    cfg, params = build(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem)
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
     run, staged = make_bench_fn(cfg, pool)
     staged = jax.device_put(staged)
@@ -222,8 +237,9 @@ def bench_latency(batch_size: int = 8, vit: bool = False,
     )
 
 
-def main(vit: bool = False, f8_stem: bool = False) -> None:
-    cfg, params = build(vit=vit, f8_stem=f8_stem)
+def main(vit: bool = False, f8_stem: bool = False,
+         int8_stem: bool = False) -> None:
+    cfg, params = build(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem)
     n_chips = jax.device_count()
     batch_size = BATCH_SIZE * n_chips  # scale work with the mesh
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
@@ -376,11 +392,17 @@ if __name__ == "__main__":
 
     vit = "--vit" in sys.argv
     f8_stem = "--f8-stem" in sys.argv
+    int8_stem = "--int8-stem" in sys.argv
     if "--e2e" in sys.argv:
         bench_e2e(vit=vit)
     elif "--train" in sys.argv:
+        if int8_stem:
+            raise SystemExit(
+                "--int8-stem is inference-only (static PTQ scales need "
+                "trained weights); use it with the eval/latency modes"
+            )
         bench_train(vit=vit, f8_stem=f8_stem)
     elif "--latency" in sys.argv:
-        bench_latency(vit=vit, f8_stem=f8_stem)
+        bench_latency(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem)
     else:
-        main(vit=vit, f8_stem=f8_stem)
+        main(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem)

@@ -73,7 +73,8 @@ CFG_SCHEMA: Dict[str, Any] = {
             "patch_size": int,           # vit only
             "num_layers": int,           # vit only
             "num_heads": int,            # vit only
-            # 'compute' | 'f8e4m3' (8-bit activation storage, cnn only)
+            # 'compute' | 'f8e4m3' (8-bit activation storage) | 'int8'
+            # (W8A8 MXU convs; eval-only, auto-calibrated) — cnn only
             "store_dtype": str,
         },
         "attention": {

@@ -43,10 +43,16 @@ class ImageConfig:
     patch_size: int = 16               # vit only
     num_layers: int = 4                # vit only
     num_heads: int = 4                 # vit only
-    # 'compute' (parity) | 'f8e4m3': store cnn conv outputs in 8-bit float
-    # between conv and pool — inference-serving throughput mode (changes
-    # numerics; see ops/conv_fused.conv_relu_pool_quantstore).
+    # 'compute' (parity) | 'f8e4m3' (8-bit float activation storage between
+    # conv and pool; ops/conv_fused.conv_relu_pool_quantstore) | 'int8'
+    # (W8A8: the convs themselves run s8xs8->s32 on the MXU;
+    # ops/conv_int8) — inference-serving throughput modes (change numerics).
     store_dtype: str = "compute"
+    # int8 mode only: static per-block post-relu amax scales from
+    # ops.conv_int8.calibrate_stem_scales. Programmatic (set via
+    # dataclasses.replace at calibration time, not a YAML key — scales are
+    # calibration artifacts of a trained checkpoint, not hyperparameters).
+    quant_scales: Tuple[float, ...] = ()
 
     @property
     def output_channels(self) -> int:

@@ -214,10 +214,32 @@ def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
         store_dtype = None
     elif cfg.image.store_dtype == "f8e4m3":
         store_dtype = jnp.float8_e4m3fn
+    elif cfg.image.store_dtype == "int8":
+        from dl_vqa_tpu.ops.conv_int8 import int8_stem_forward
+
+        if train:
+            raise ValueError(
+                "image.store_dtype='int8' is inference-only: its static "
+                "activation scales are calibrated FROM trained weights "
+                "(ops.conv_int8.calibrate_stem_scales). Train with "
+                "store_dtype='compute' and switch at serving time."
+            )
+        if not cfg.image.quant_scales:
+            raise ValueError(
+                "image.store_dtype='int8' needs calibrated activation "
+                "scales: run ops.conv_int8.calibrate_stem_scales on sample "
+                "batches and set them via dataclasses.replace(cfg.image, "
+                "quant_scales=...)"
+            )
+        x = int8_stem_forward(
+            params["image"], images, cfg.image.quant_scales,
+            cfg.image.stride, dtype,
+        )
+        return _dropout(x, cfg.image.dropout, train, _site_rng(rng, 0))
     else:
         raise ValueError(
             f"image.store_dtype={cfg.image.store_dtype!r}; expected "
-            "'compute' or 'f8e4m3'"
+            "'compute', 'f8e4m3' or 'int8'"
         )
 
     x = images.astype(dtype)

@@ -66,6 +66,35 @@ def evaluate_hw2(overrides=()) -> float:
     template = vqa.init(jax.random.PRNGKey(0), model_cfg)
     params = load_params(profile["paths"]["pretrained_model_path"], template)
 
+    compute_dtype = jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16" \
+        else jnp.float32
+    if model_cfg.image.store_dtype == "int8" \
+            and not model_cfg.image.quant_scales:
+        # The int8 serving mode needs static activation scales; calibrate
+        # them here on a spread of cached val images (see ops/conv_int8).
+        import numpy as np
+
+        from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
+
+        if online_images:
+            raise ValueError(
+                "train.image.store_dtype=int8 auto-calibration reads the "
+                "processed image cache; run with tpu.online_images=false, "
+                "or calibrate programmatically (ops.conv_int8."
+                "calibrate_stem_scales) and set image.quant_scales"
+            )
+        n_cal = min(len(val_dataset), 256)
+        cal_idx = np.linspace(0, len(val_dataset) - 1, n_cal).astype(np.int64)
+        model_cfg = with_calibrated_scales(
+            model_cfg, params,
+            jnp.asarray(val_dataset.load_images_nhwc(cal_idx)),
+            dtype=compute_dtype,
+        )
+        logger.write(
+            "int8 stem: calibrated activation scales over "
+            f"{n_cal} images: {model_cfg.image.quant_scales}"
+        )
+
     mesh_cfg = cfg["tpu"]["mesh"]
     stage = mesh_cfg.get("stage", 1)
     mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage)
@@ -75,8 +104,6 @@ def evaluate_hw2(overrides=()) -> float:
 
         micro = cfg["tpu"].get("pipeline_microbatches", 0) or stage
         pipeline_ctx = PipelineContext(mesh, num_microbatches=micro)
-    compute_dtype = jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16" \
-        else jnp.float32
 
     eval_step = make_eval_step(model_cfg, compute_dtype, with_breakdown=True,
                                pipeline_ctx=pipeline_ctx)

@@ -1,19 +1,21 @@
-"""Probe: what does the f8e4m3 activation-storage stem COST in accuracy?
+"""Probe: what do the quantized serving stems COST in accuracy?
 
-Round 2 measured the mode's throughput (17.3k -> 20.7k QA pairs/s/chip,
-docs/PERF_NOTES.md "f8 activation-storage stem") but left its accuracy
-delta unquantified ("outside the parity envelope"). This puts a number
-beside the throughput number, on the largest data this environment can
-produce: the at-scale synthetic corpus (20k train / 4k val QA pairs,
-1,500 distinct 224px images, 1000 answers).
+Round 2 measured the f8 mode's throughput (17.3k -> 20.7k QA pairs/s/
+chip, docs/PERF_NOTES.md "f8 activation-storage stem") but left its
+accuracy delta unquantified ("outside the parity envelope"). This puts
+a number beside the throughput number, on the largest data this
+environment can produce: the at-scale synthetic corpus (20k train / 4k
+val QA pairs, 1,500 distinct 224px images, 1000 answers). Round 3 adds
+the int8 W8A8 mode (ops/conv_int8) to the same protocol.
 
 Protocol (inference-mode quantization, which is what the serving config
 does — `evaluate_vqa.py train.image.store_dtype=f8e4m3` on a checkpoint
 trained in bf16):
   1. train the reference-scale parity model in bf16 to convergence
      (best-val early-stop window, same LR law as main.py),
-  2. eval the SAME best params twice: store_dtype=compute vs f8e4m3,
-  3. report both accuracies and the delta.
+  2. eval the SAME best params three ways: store_dtype=compute vs
+     f8e4m3 vs int8 (the latter PTQ-calibrated on a train-image sample),
+  3. report the accuracies and deltas.
 
 Run on the real TPU: `python experiments/probe_f8_accuracy.py [epochs]`.
 Result recorded in docs/PERF_NOTES.md and BASELINE.md.
@@ -124,10 +126,27 @@ def main(epochs: int = 12) -> None:
     acc_bf16, _ = evaluate(eval_bf16, best_params, val_b,
                            image_table=val_table)
     acc_f8, _ = evaluate(eval_f8, best_params, val_b, image_table=val_table)
+
+    # int8 W8A8 mode: calibrate static activation scales from the TRAINED
+    # best params on a spread of train images (the serving deployment's
+    # calibration data is training-distribution data), then eval.
+    from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
+    n_cal = min(len(train_ds), 256)
+    cal_idx = np.linspace(0, len(train_ds) - 1, n_cal).astype(np.int64)
+    cfg_int8 = with_calibrated_scales(
+        cfg, best_params,
+        jnp.asarray(train_ds.load_images_nhwc(cal_idx)),
+    )
+    eval_int8 = make_eval_step(cfg_int8, jnp.bfloat16)
+    acc_int8, _ = evaluate(eval_int8, best_params, val_b,
+                           image_table=val_table)
     print(json.dumps({
         "val_accuracy_bf16_store": round(acc_bf16, 3),
         "val_accuracy_f8e4m3_store": round(acc_f8, 3),
-        "delta_pct_points": round(acc_f8 - acc_bf16, 3),
+        "val_accuracy_int8_w8a8": round(acc_int8, 3),
+        "delta_f8_pct_points": round(acc_f8 - acc_bf16, 3),
+        "delta_int8_pct_points": round(acc_int8 - acc_bf16, 3),
+        "int8_scales": [round(s, 4) for s in cfg_int8.image.quant_scales],
         "corpus": f"learnable, {n_train} train / {n_val} val / "
                   f"{n_images} images @ {image_size}px, 1000 answers",
     }))

@@ -78,18 +78,53 @@ class Predictor:
                 "save_checkpoint to record the trained length.",
                 stacklevel=2,
             )
-        compute_dtype = (
+        self._compute_dtype = (
             jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16"
             else jnp.float32
         )
+        self._build_forward()
+
+    def _build_forward(self):
+        import jax
+
+        from dl_vqa_tpu.models import vqa
 
         def forward(params, images, questions, lengths):
             return vqa.apply(
                 params, self.model_cfg, images, questions, lengths,
-                train=False, compute_dtype=compute_dtype,
+                train=False, compute_dtype=self._compute_dtype,
             )
 
         self._forward = jax.jit(forward)
+
+    # --------------------------------------------------------- int8 mode
+
+    @property
+    def needs_int8_calibration(self) -> bool:
+        """True when the config asks for the W8A8 int8 serving stem but
+        no static activation scales are set yet — the first forward would
+        raise until :meth:`calibrate_int8` runs (ops/conv_int8)."""
+        return (self.model_cfg.image.store_dtype == "int8"
+                and not self.model_cfg.image.quant_scales)
+
+    def calibrate_int8(self, images) -> None:
+        """Calibrate the int8 stem's static activation scales on a
+        representative ``[B, H, W, 3]`` sample (e.g. :meth:`load_images`
+        over deployment traffic) and rebuild the jitted forward.
+
+        Must run before the first forward / warmup — the scales are
+        jit-static, so serving numerics are fixed here, at calibration
+        time (see ops/conv_int8 for the PTQ scheme).
+        """
+        import jax.numpy as jnp
+
+        from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
+
+        self.model_cfg = with_calibrated_scales(
+            self.model_cfg, self.params, jnp.asarray(images),
+            dtype=self._compute_dtype,
+        )
+        self._build_forward()
 
     # ------------------------------------------------------------- text
 

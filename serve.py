@@ -348,10 +348,38 @@ def make_handler(service: BatchingService, predictor):
     return Handler
 
 
+def _calibrate_int8(predictor, calibration_dir: Optional[str]) -> None:
+    """Calibrate the W8A8 int8 stem (train.image.store_dtype=int8) on a
+    directory of representative deployment images before the first
+    compile. The scales are jit-static (ops/conv_int8), so this must
+    happen at startup, not per request."""
+    import glob
+    import os
+
+    if not calibration_dir:
+        raise SystemExit(
+            "train.image.store_dtype=int8 needs static activation scales: "
+            "pass --int8-calibration-dir <dir of representative jpeg/png "
+            "images> (or set image.quant_scales programmatically)"
+        )
+    paths = sorted(
+        p for p in glob.glob(os.path.join(calibration_dir, "*"))
+        if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+    )[:256]
+    if not paths:
+        raise SystemExit(
+            f"--int8-calibration-dir {calibration_dir!r} contains no "
+            "jpeg/png/bmp images"
+        )
+    predictor.calibrate_int8(predictor.load_images(paths))
+    print(f"int8 stem: calibrated on {len(paths)} images -> scales "
+          f"{predictor.model_cfg.image.quant_scales}")
+
+
 def build_server(cfg, port: int = 0, max_batch: int = 64,
                  batch_window_ms: float = 5.0, host: str = "127.0.0.1",
                  request_timeout_s: float = 300.0, max_queue: int = 0,
-                 warmup: bool = False):
+                 warmup: bool = False, int8_calibration_dir: str = None):
     """Returns (ThreadingHTTPServer, BatchingService); port 0 = ephemeral.
     ``warmup=True`` starts the background bucket pre-compile sweep
     (:meth:`BatchingService.warmup`)."""
@@ -363,6 +391,8 @@ def build_server(cfg, port: int = 0, max_batch: int = 64,
         checkpoint_path=profile["paths"]["pretrained_model_path"],
         vocab_path=profile["paths"]["vocab_path"],
     )
+    if predictor.needs_int8_calibration:
+        _calibrate_int8(predictor, int8_calibration_dir)
     service = BatchingService(predictor, max_batch=max_batch,
                               batch_window_ms=batch_window_ms,
                               request_timeout_s=request_timeout_s,
@@ -394,6 +424,11 @@ def main(argv=None) -> int:
                         help="skip the background bucket pre-compile "
                              "sweep (first request per batch bucket "
                              "then pays XLA compilation)")
+    parser.add_argument("--int8-calibration-dir", default=None,
+                        help="directory of representative jpeg/png images "
+                             "to calibrate the W8A8 int8 stem on "
+                             "(required when train.image.store_dtype=int8 "
+                             "without preset image.quant_scales)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -403,6 +438,7 @@ def main(argv=None) -> int:
         batch_window_ms=args.batch_window_ms, host=args.host,
         request_timeout_s=args.request_timeout_s,
         max_queue=args.max_queue, warmup=not args.no_warmup,
+        int8_calibration_dir=args.int8_calibration_dir,
     )
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(max_batch={args.max_batch}, window={args.batch_window_ms}ms)")

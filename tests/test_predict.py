@@ -171,3 +171,49 @@ def test_submission_with_device_image_table(setup):
         ds, Batcher(ds, batch_size=5, load_images=False), image_table=table
     )
     assert out == ref
+
+
+def test_int8_serving_mode_calibrate_then_predict(setup):
+    """W8A8 serving flow: store_dtype=int8 defers until calibrate_int8,
+    then predicts with probabilities near the exact-stem predictor's."""
+    import copy
+
+    from predict import Predictor
+
+    cfg, profile, ds, root = setup
+    exact = Predictor(
+        cfg, checkpoint_path=f"{root}/model.ckpt",
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    cfg_int8 = copy.deepcopy(cfg)
+    cfg_int8["train"]["image"]["store_dtype"] = "int8"
+    predictor = Predictor(
+        cfg_int8, checkpoint_path=f"{root}/model.ckpt",
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    assert predictor.needs_int8_calibration
+    img_dir = os.path.join(profile["paths"]["base_path"], "val2014")
+    paths = [os.path.join(img_dir, p)
+             for p in sorted(os.listdir(img_dir))][:4]
+    # Uncalibrated forward fails loudly (scales are required, ops/conv_int8).
+    with pytest.raises(ValueError, match="calibrate"):
+        predictor.predict([paths[0]], ["what color is the cat?"])
+
+    predictor.calibrate_int8(predictor.load_images(paths))
+    assert not predictor.needs_int8_calibration
+    assert predictor.model_cfg.image.quant_scales
+
+    questions = ["what color is the cat?", "how many people"]
+    probs_exact = exact.forward_probs(
+        exact.load_images(paths[:2]), *exact.encode_questions(questions)
+    )
+    probs_int8 = predictor.forward_probs(
+        predictor.load_images(paths[:2]),
+        *predictor.encode_questions(questions),
+    )
+    # Same regime as the f8/int8 model tests: quantization shifts logits
+    # but the distributions stay close on an untrained-scale model.
+    assert np.all(np.isfinite(probs_int8))
+    assert np.max(np.abs(probs_int8 - probs_exact)) < 0.25

@@ -245,3 +245,72 @@ def test_warmup_compiles_every_bucket():
     assert [c[0] for c in calls] == [1, 2, 4, 8, 16, 32, 48]
     assert all(c[1:] == (8, 8, 3) for c in calls)
     assert service.metrics()["warmed_buckets"] == 7
+
+
+def test_int8_mode_requires_and_uses_calibration(tmp_path_factory):
+    """train.image.store_dtype=int8: build_server refuses to start without
+    --int8-calibration-dir (static scales are required before the first
+    compile), and with one it calibrates at startup and serves answers."""
+    from dl_vqa_tpu import config as config_mod
+    from dl_vqa_tpu.models import ModelConfig, vqa
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+    import serve
+
+    root = tmp_path_factory.mktemp("serve_int8")
+    profile = synthetic.make_synthetic_corpus(
+        str(root / "data"), n_train=12, n_val=6, n_images=4, image_size=32,
+        max_answers=12,
+    )
+    overrides = [
+        "main.use_full=false",
+        "train.max_answers=12",
+        "train.image_size=32",
+        "train.text.question_features=16",
+        "train.text.embedding_features=8",
+        "train.image.num_channels=[3, 4, 6]",
+        "train.attention.hidden_dim=12",
+        "train.classifier.hidden_dim=16",
+        "train.image.store_dtype=int8",
+        "tpu.compute_dtype=float32",
+        f"main.small.paths.vocab_path={profile['paths']['vocab_path']}",
+        f"main.small.paths.pretrained_model_path={root}/model.ckpt",
+    ]
+    cfg = config_mod.compose("config_eval", overrides=overrides)
+    ds = VQADataset(
+        data_paths=profile["val_paths"], other_paths=profile["paths"]
+    )
+    model_cfg = ModelConfig.from_cfg(cfg["train"], ds.num_tokens)
+    # Checkpoints are trained/saved in the parity dtype; int8 is a
+    # serving-time mode, so the saved model_cfg stays 'compute'.
+    import dataclasses
+    ckpt_cfg = dataclasses.replace(
+        model_cfg,
+        image=dataclasses.replace(model_cfg.image, store_dtype="compute"),
+    )
+    params = vqa.init(jax.random.PRNGKey(0), ckpt_cfg)
+    ckpt.save_checkpoint(str(root / "model.ckpt"), params,
+                         model_cfg=ckpt_cfg)
+
+    with pytest.raises(SystemExit, match="int8-calibration-dir"):
+        serve.build_server(cfg, port=0)
+
+    img_dir = os.path.join(profile["paths"]["base_path"], "val2014")
+    httpd, service = serve.build_server(
+        cfg, port=0, max_batch=4, batch_window_ms=10.0,
+        int8_calibration_dir=img_dir,
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        jpeg = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+        with open(jpeg, "rb") as fd:
+            image_b64 = base64.b64encode(fd.read()).decode()
+        status, body = _post(base, "/v1/answer", {
+            "image_b64": image_b64, "question": "what color is the cat?",
+            "top_k": 2,
+        })
+        assert status == 200 and len(body["answers"]) == 2
+    finally:
+        service.stop()
+        httpd.shutdown()

@@ -229,6 +229,13 @@ def test_end_to_end_entrypoints(tmp_path, monkeypatch):
     score = eval_main.evaluate_hw2(eval_overrides)
     assert isinstance(score, float) and 0.0 <= score <= 100.0
 
+    # The int8 W8A8 serving mode auto-calibrates its activation scales
+    # from the cached val images and evaluates the same checkpoint.
+    score_int8 = eval_main.evaluate_hw2(
+        eval_overrides + ["train.image.store_dtype=int8"]
+    )
+    assert isinstance(score_int8, float) and 0.0 <= score_int8 <= 100.0
+
 
 def test_resume_equals_uninterrupted_training(tmp_path):
     """Crash-recovery guarantee: train 2 steps straight == train 1 step,
