@@ -30,10 +30,14 @@ def timed_ms(name, fn, *args, width: int = 34, verbose: bool = False):
     Prints one aligned line and returns the per-iteration milliseconds.
     """
 
-    def looped(n):
+    def looped(n, *xs):
+        # xs are REAL jit parameters, not closure captures: a closed-over
+        # array is embedded in the program as a lowering constant, which
+        # at probe shapes (multi-GB tensors) stalls compilation and trips
+        # jax's captured-constants warning.
         def body(i, acc):
-            out = fn(*((args[0] + acc.astype(args[0].dtype) * 1e-30,)
-                       + args[1:]))
+            out = fn(*((xs[0] + acc.astype(xs[0].dtype) * 1e-30,)
+                       + xs[1:]))
             out = out.astype(jnp.float32)
             if out.ndim:
                 out = out.sum()
@@ -44,13 +48,13 @@ def timed_ms(name, fn, *args, width: int = 34, verbose: bool = False):
     run = jax.jit(looped, static_argnums=0)
     if verbose:
         print(f"  {name}: compiling...", flush=True)
-    float(run(SHORT_ITERS))  # compile the shared loop body; warm
-    float(run(LONG_ITERS))
+    float(run(SHORT_ITERS, *args))  # compile the shared loop body; warm
+    float(run(LONG_ITERS, *args))
     t0 = time.perf_counter()
-    float(run(SHORT_ITERS))
+    float(run(SHORT_ITERS, *args))
     t_short = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run(LONG_ITERS))
+    float(run(LONG_ITERS, *args))
     t_long = time.perf_counter() - t0
     ms = (t_long - t_short) / (LONG_ITERS - SHORT_ITERS) * 1e3
     print(f"{name:{width}s}: {ms:7.3f} ms/iter "

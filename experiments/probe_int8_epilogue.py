@@ -26,7 +26,17 @@ known >20-min compile tarpit, see probe_int8_conv.py):
    identical across variants): dequant+bias+relu+requant+int8-pool vs
    dequant+bias+relu+f8-cast+f8-pool+post-pool-requant.
 
-Measured result: see docs/PERF_NOTES.md "int8 W8A8 stem".
+Measured result (v5e, 2026-08-18): NEGATIVE — the hybrid is not worth
+shipping. conv0 block: pre-pool requant 9.75 ms, folded-scale 9.52,
+f8-pool+post-pool requant 9.29, f8-only floor 8.06 — the post-pool
+requant pays its own HBM round trip over the pooled tensor, clawing
+back only 0.46 ms of the 1.7 ms epilogue tax. conv1 epilogue in
+isolation: hybrid 0.90x (LOSES; NB this sub-measurement is dominated by
+the artificial 3 GB f32 accumulator read, which the real program never
+materializes — it bounds the hybrid's upside, it does not attribute
+the tax). Full table + conclusion: docs/PERF_NOTES.md "int8 W8A8
+stem". The int8 mode stays at the shipped pre-pool pipeline; f8
+remains the throughput mode.
 """
 
 import os
@@ -117,41 +127,48 @@ def epi_f8_postpool(acc_f, wscale, b):
     return requant_int8(p.astype(jnp.float32), S1)
 
 
-def main():
+def main(parts=("1", "2")):
     rng = np.random.default_rng(0)
     print(f"backend: {jax.default_backend()}; conv0 [B={B},{HW}^2,{CIN}->"
           f"{COUT}], epilogue [B={B},{E_HW}^2,{E_C}]", flush=True)
 
-    x = jnp.asarray(rng.standard_normal((B, HW, HW, CIN)),
-                    dtype=jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal((3, 3, CIN, COUT)) * 0.1,
-                    dtype=jnp.bfloat16)
-    b = jnp.asarray(rng.standard_normal((COUT,)) * 0.1, dtype=jnp.float32)
-    w_scaled = (w.astype(jnp.float32) * (127.0 / S0)).astype(jnp.bfloat16)
-    b_scaled = b * (127.0 / S0)
+    if "1" in parts:
+        x = jnp.asarray(rng.standard_normal((B, HW, HW, CIN)),
+                        dtype=jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((3, 3, CIN, COUT)) * 0.1,
+                        dtype=jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((COUT,)) * 0.1,
+                        dtype=jnp.float32)
+        w_scaled = (w.astype(jnp.float32) * (127.0 / S0)).astype(
+            jnp.bfloat16)
+        b_scaled = b * (127.0 / S0)
 
-    t_pre = timed_ms("conv0: int8 requant pre-pool", block0_int8_prepool,
-                     x, w, b)
-    t_fold = timed_ms("conv0: folded-scale pre-pool", block0_fold_prepool,
-                      x, w_scaled, b_scaled)
-    t_post = timed_ms("conv0: f8 pool, requant post", block0_f8_postpool,
-                      x, w, b)
-    t_f8 = timed_ms("conv0: f8-only reference", block0_f8_only, x, w, b)
+        t_pre = timed_ms("conv0: int8 requant pre-pool",
+                         block0_int8_prepool, x, w, b)
+        t_fold = timed_ms("conv0: folded-scale pre-pool",
+                          block0_fold_prepool, x, w_scaled, b_scaled)
+        t_post = timed_ms("conv0: f8 pool, requant post",
+                          block0_f8_postpool, x, w, b)
+        t_f8 = timed_ms("conv0: f8-only reference", block0_f8_only, x, w, b)
+        print(f"conv0 hybrid vs current: {t_pre / t_post:.2f}x "
+              f"(f8-only floor {t_f8:.2f} ms, fold {t_fold:.2f} ms)",
+              flush=True)
 
-    acc_f = jnp.asarray(
-        rng.integers(0, 1 << 14, (B, E_HW, E_HW, E_C)), dtype=jnp.float32
-    )
-    wscale = jnp.asarray(rng.uniform(1e-4, 4e-4, (E_C,)), dtype=jnp.float32)
-    be = jnp.asarray(rng.standard_normal((E_C,)) * 0.1, dtype=jnp.float32)
-    t_epre = timed_ms("conv1 epi: requant pre-pool", epi_requant_prepool,
-                      acc_f, wscale, be)
-    t_epost = timed_ms("conv1 epi: f8 pool, requant post", epi_f8_postpool,
-                       acc_f, wscale, be)
-
-    print(f"\nconv0 hybrid vs current: {t_pre / t_post:.2f}x "
-          f"(f8-only floor {t_f8:.2f} ms, fold {t_fold:.2f} ms)")
-    print(f"conv1 epilogue hybrid vs current: {t_epre / t_epost:.2f}x")
+    if "2" in parts:
+        acc_f = jax.device_put(jnp.asarray(
+            rng.integers(0, 1 << 14, (B, E_HW, E_HW, E_C)),
+            dtype=jnp.float32,
+        ))
+        wscale = jnp.asarray(rng.uniform(1e-4, 4e-4, (E_C,)),
+                             dtype=jnp.float32)
+        be = jnp.asarray(rng.standard_normal((E_C,)) * 0.1,
+                         dtype=jnp.float32)
+        t_epre = timed_ms("conv1 epi: requant pre-pool",
+                          epi_requant_prepool, acc_f, wscale, be)
+        t_epost = timed_ms("conv1 epi: f8 pool, requant post",
+                           epi_f8_postpool, acc_f, wscale, be)
+        print(f"conv1 epilogue hybrid vs current: {t_epre / t_epost:.2f}x")
 
 
 if __name__ == "__main__":
-    main()
+    main(tuple(sys.argv[1:]) or ("1", "2"))
