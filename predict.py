@@ -82,6 +82,23 @@ class Predictor:
             jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16"
             else jnp.float32
         )
+        self._checkpoint_path = checkpoint_path
+        # Calibrate-once workflow: a checkpoint saved by calibrate_int8
+        # (or any save_checkpoint with a calibrated model_cfg) carries the
+        # static activation scales in its metadata — adopt them so serving
+        # restarts need no recalibration data.
+        meta_scales = (meta.get("model_cfg") or {}).get(
+            "image", {}).get("quant_scales")
+        if (self.model_cfg.image.store_dtype == "int8"
+                and not self.model_cfg.image.quant_scales and meta_scales):
+            import dataclasses
+            self.model_cfg = dataclasses.replace(
+                self.model_cfg,
+                image=dataclasses.replace(
+                    self.model_cfg.image,
+                    quant_scales=tuple(float(s) for s in meta_scales),
+                ),
+            )
         self._build_forward()
 
     def _build_forward(self):
@@ -107,7 +124,7 @@ class Predictor:
         return (self.model_cfg.image.store_dtype == "int8"
                 and not self.model_cfg.image.quant_scales)
 
-    def calibrate_int8(self, images) -> None:
+    def calibrate_int8(self, images, save_to: Optional[str] = None) -> None:
         """Calibrate the int8 stem's static activation scales on a
         representative ``[B, H, W, 3]`` sample (e.g. :meth:`load_images`
         over deployment traffic) and rebuild the jitted forward.
@@ -115,6 +132,12 @@ class Predictor:
         Must run before the first forward / warmup — the scales are
         jit-static, so serving numerics are fixed here, at calibration
         time (see ops/conv_int8 for the PTQ scheme).
+
+        ``save_to``: optionally re-save the checkpoint (params unchanged)
+        with the calibrated ``model_cfg`` in its metadata, so future
+        ``Predictor``/``serve.py`` starts with ``store_dtype=int8`` pick
+        the scales up without calibration data (calibrate once, deploy
+        many).
         """
         import jax.numpy as jnp
 
@@ -125,6 +148,15 @@ class Predictor:
             dtype=self._compute_dtype,
         )
         self._build_forward()
+        if save_to:
+            from dl_vqa_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                save_to, self.params, model_cfg=self.model_cfg,
+                extra_meta={
+                    "max_question_length": self.max_question_length
+                },
+            )
 
     # ------------------------------------------------------------- text
 

@@ -217,3 +217,44 @@ def test_int8_serving_mode_calibrate_then_predict(setup):
     # but the distributions stay close on an untrained-scale model.
     assert np.all(np.isfinite(probs_int8))
     assert np.max(np.abs(probs_int8 - probs_exact)) < 0.25
+
+
+def test_int8_calibrate_once_checkpoint_roundtrip(setup, tmp_path):
+    """calibrate_int8(save_to=...) persists the scales in checkpoint
+    metadata; a fresh int8 Predictor on that checkpoint needs no
+    calibration data and predicts identically."""
+    import copy
+
+    from predict import Predictor
+
+    cfg, profile, ds, root = setup
+    cfg_int8 = copy.deepcopy(cfg)
+    cfg_int8["train"]["image"]["store_dtype"] = "int8"
+    predictor = Predictor(
+        cfg_int8, checkpoint_path=f"{root}/model.ckpt",
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    img_dir = os.path.join(profile["paths"]["base_path"], "val2014")
+    paths = [os.path.join(img_dir, p)
+             for p in sorted(os.listdir(img_dir))][:4]
+    calibrated_ckpt = str(tmp_path / "calibrated.ckpt")
+    predictor.calibrate_int8(predictor.load_images(paths),
+                             save_to=calibrated_ckpt)
+
+    fresh = Predictor(
+        cfg_int8, checkpoint_path=calibrated_ckpt,
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    assert not fresh.needs_int8_calibration
+    assert fresh.model_cfg.image.quant_scales == \
+        predictor.model_cfg.image.quant_scales
+    assert fresh.max_question_length == predictor.max_question_length
+
+    questions = ["what color is the cat?"]
+    p1 = predictor.forward_probs(predictor.load_images(paths[:1]),
+                                 *predictor.encode_questions(questions))
+    p2 = fresh.forward_probs(fresh.load_images(paths[:1]),
+                             *fresh.encode_questions(questions))
+    np.testing.assert_allclose(p2, p1, rtol=1e-5, atol=1e-6)
