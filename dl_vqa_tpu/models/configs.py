@@ -99,6 +99,32 @@ class ModelConfig:
     use_pallas: bool = True            # enable Pallas kernels where they win
 
     @classmethod
+    def from_meta_dict(cls, d: dict) -> "ModelConfig":
+        """Rebuild from ``dataclasses.asdict(model_cfg)`` as stored in
+        checkpoint metadata (utils/checkpoint.py) — field names match the
+        dataclasses exactly; only the JSON list->tuple coercions and
+        forward-compat key filtering are needed here."""
+        def pick(dc_cls, sub: dict) -> dict:
+            fields = {f.name for f in dataclasses.fields(dc_cls)}
+            return {k: v for k, v in sub.items() if k in fields}
+
+        image = pick(ImageConfig, d["image"])
+        if "num_channels" in image:
+            image["num_channels"] = tuple(image["num_channels"])
+        if "quant_scales" in image:
+            image["quant_scales"] = tuple(image["quant_scales"])
+        top = pick(cls, d)
+        top.update(
+            text=TextConfig(**pick(TextConfig, d["text"])),
+            image=ImageConfig(**image),
+            attention=AttentionConfig(**pick(AttentionConfig,
+                                             d["attention"])),
+            classifier=ClassifierConfig(**pick(ClassifierConfig,
+                                               d["classifier"])),
+        )
+        return cls(**top)
+
+    @classmethod
     def from_cfg(cls, train_cfg: dict, num_tokens: int,
                  use_pallas: bool = True) -> "ModelConfig":
         """Build from the ``train`` config group + the dataset's token count."""
