@@ -367,3 +367,33 @@ def test_device_cache_sharded_layout():
     with pytest.raises(ValueError, match="device_image_cache_budget_gb"):
         plan_image_tables(conf("replicated", "auto", -4), {"d": _DS()},
                           mesh=mesh)
+
+
+def test_int8_eval_under_dp_tp_mesh_matches():
+    """The int8 W8A8 serving stem composes with dp x tp sharding: the
+    in-graph weight quantization and static-scale requant are pure
+    elementwise/conv ops, so the sharded eval reproduces the unsharded
+    int8 results (exact: same quantized integer arithmetic)."""
+    import dataclasses
+
+    from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
+
+    cfg = _cfg()
+    params = vqa.init(jax.random.PRNGKey(1), cfg)
+    batch = _batch(cfg, seed=3)
+    cfg_int8 = with_calibrated_scales(
+        cfg, params, jnp.asarray(batch["images"][:4]), dtype=jnp.float32
+    )
+    assert cfg_int8.image.store_dtype == "int8"
+
+    eval_step = make_eval_step(cfg_int8, compute_dtype=jnp.float32)
+    l_ref, s_ref = eval_step(params, jax.device_put(batch))
+
+    mesh = make_mesh(data=4, model=2)
+    params_tp = jax.device_put(params, param_shardings(params, mesh))
+    bsh = batch_sharding(mesh)
+    sharded = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    l_tp, s_tp = eval_step(params_tp, sharded)
+
+    assert float(l_ref) == pytest.approx(float(l_tp), rel=1e-5)
+    assert float(s_ref) == pytest.approx(float(s_tp), rel=1e-5)
