@@ -41,6 +41,11 @@ def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False):
 
     if f8_stem and int8_stem:
         raise SystemExit("--f8-stem and --int8-stem are mutually exclusive")
+    if vit and int8_stem:
+        raise SystemExit(
+            "--int8-stem is a CNN-stem serving mode; the ViT family has "
+            "no conv blocks to quantize (drop --vit or --int8-stem)"
+        )
     cfg = ModelConfig(num_tokens=15_193)  # full reference-scale defaults
     if vit:
         cfg = dataclasses.replace(

@@ -58,12 +58,14 @@ def _lstm_direction(dst: Dict, suffix: str, p: Dict) -> None:
 def torch_state_from_params(params: Dict) -> Dict[str, np.ndarray]:
     """Map a dl_vqa_tpu param tree to a reference ``model_state`` dict
     (numpy arrays; :func:`save_torch_checkpoint` tensorizes them)."""
-    if "patch_embed" in params.get("image", {}) or "blocks" in params.get(
-            "image", {}):
+    image = params.get("image", {})
+    if ("patch_embed" in image or "blocks" in image
+            or "lstm_fwd" not in params.get("text", {})
+            or "v_conv" not in params.get("attention", {})):
         raise ValueError(
-            "only the reference CNN/LSTM family exports to the reference "
-            ".pth format; the ViT/transformer variants have no reference "
-            "counterpart"
+            "only the reference CNN/LSTM/single-attention family exports "
+            "to the reference .pth format; the ViT, transformer-text, and "
+            "stacked/co-attention variants have no reference counterpart"
         )
     state: Dict[str, np.ndarray] = {
         "text.embedding.weight": _np(params["text"]["embedding"]),

@@ -64,36 +64,85 @@ def evaluate_hw2(overrides=()) -> float:
         use_pallas=cfg["tpu"]["use_pallas"],
     )
     template = vqa.init(jax.random.PRNGKey(0), model_cfg)
-    params = load_params(profile["paths"]["pretrained_model_path"], template)
+    params, ckpt_meta = load_params(
+        profile["paths"]["pretrained_model_path"], template, with_meta=True
+    )
 
     compute_dtype = jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16" \
         else jnp.float32
     if model_cfg.image.store_dtype == "int8" \
             and not model_cfg.image.quant_scales:
-        # The int8 serving mode needs static activation scales; calibrate
-        # them here on a spread of cached val images (see ops/conv_int8).
+        import dataclasses
+
         import numpy as np
 
-        from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
-
-        if online_images:
-            raise ValueError(
-                "train.image.store_dtype=int8 auto-calibration reads the "
-                "processed image cache; run with tpu.online_images=false, "
-                "or calibrate programmatically (ops.conv_int8."
-                "calibrate_stem_scales) and set image.quant_scales"
+        meta_scales = (ckpt_meta.get("model_cfg") or {}).get(
+            "image", {}).get("quant_scales")
+        if meta_scales:
+            # Calibrate-once checkpoints (Predictor.calibrate_int8
+            # save_to=...) carry their scales — score EXACTLY the
+            # numerics the deployment serves, don't recalibrate.
+            model_cfg = dataclasses.replace(
+                model_cfg,
+                image=dataclasses.replace(
+                    model_cfg.image,
+                    quant_scales=tuple(float(s) for s in meta_scales),
+                ),
             )
-        n_cal = min(len(val_dataset), 256)
-        cal_idx = np.linspace(0, len(val_dataset) - 1, n_cal).astype(np.int64)
-        model_cfg = with_calibrated_scales(
-            model_cfg, params,
-            jnp.asarray(val_dataset.load_images_nhwc(cal_idx)),
-            dtype=compute_dtype,
-        )
-        logger.write(
-            "int8 stem: calibrated activation scales over "
-            f"{n_cal} images: {model_cfg.image.quant_scales}"
-        )
+            logger.write(
+                "int8 stem: using calibrated scales from checkpoint "
+                f"metadata: {model_cfg.image.quant_scales}"
+            )
+        else:
+            # Auto-calibrate on TRAIN-distribution images (the protocol
+            # behind the published accuracy numbers, see
+            # experiments/probe_f8_accuracy.py): calibrating on the val
+            # images being scored would leak the eval set into the
+            # served configuration. Falls back to val images (with a
+            # caveat) only when no train cache exists.
+            from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
+
+            train_h5 = os.path.join(
+                profile["paths"]["base_path"],
+                profile["train_paths"]["processed_imgs"],
+            ) if not os.path.isabs(
+                profile["train_paths"]["processed_imgs"]
+            ) else profile["train_paths"]["processed_imgs"]
+            if os.path.exists(train_h5):
+                import h5py
+
+                with h5py.File(train_h5, "r") as fd:
+                    feats = fd["features"]
+                    rows = np.unique(np.linspace(
+                        0, feats.shape[0] - 1, min(feats.shape[0], 256)
+                    ).astype(np.int64))
+                    cal = np.asarray(feats[rows]).transpose(0, 2, 3, 1)
+                source = f"{len(rows)} train-cache images"
+            else:
+                if online_images:
+                    raise ValueError(
+                        "train.image.store_dtype=int8 auto-calibration "
+                        "reads a processed image cache; build one (run "
+                        "with tpu.online_images=false), use a "
+                        "calibrate-once checkpoint (predict.Predictor."
+                        "calibrate_int8 save_to=...), or set "
+                        "image.quant_scales programmatically"
+                    )
+                n_cal = min(len(val_dataset), 256)
+                rows = np.linspace(
+                    0, len(val_dataset) - 1, n_cal
+                ).astype(np.int64)
+                cal = val_dataset.load_images_nhwc(rows)
+                source = (f"{n_cal} VAL images (no train cache at "
+                          f"{train_h5!r} — score may be optimistic vs "
+                          "a train-calibrated deployment)")
+            model_cfg = with_calibrated_scales(
+                model_cfg, params, jnp.asarray(cal), dtype=compute_dtype,
+            )
+            logger.write(
+                f"int8 stem: calibrated activation scales over {source}: "
+                f"{model_cfg.image.quant_scales}"
+            )
 
     mesh_cfg = cfg["tpu"]["mesh"]
     stage = mesh_cfg.get("stage", 1)

@@ -58,6 +58,7 @@ class Predictor:
         self.params, meta = load_params(
             checkpoint_path, template, with_meta=True
         )
+        self._ckpt_meta = meta
         # Encode questions at the length the checkpoint was trained with
         # (stored in npz metadata); 23 is only the legacy fallback for
         # reference .pth checkpoints / pre-metadata saves — and that
@@ -151,11 +152,18 @@ class Predictor:
         if save_to:
             from dl_vqa_tpu.utils.checkpoint import save_checkpoint
 
+            # Carry the SOURCE checkpoint's metadata through unchanged
+            # (minus model_cfg/epoch, passed explicitly). In particular,
+            # do NOT invent max_question_length: if the source lacked it
+            # (legacy/.pth import) the predictor only GUESSED the
+            # reference default — persisting the guess as authoritative
+            # metadata would silence the loud-fallback warning on every
+            # future load while the truncation risk remains.
+            extra = {k: v for k, v in self._ckpt_meta.items()
+                     if k not in ("model_cfg", "epoch")}
             save_checkpoint(
                 save_to, self.params, model_cfg=self.model_cfg,
-                extra_meta={
-                    "max_question_length": self.max_question_length
-                },
+                epoch=self._ckpt_meta.get("epoch"), extra_meta=extra,
             )
 
     # ------------------------------------------------------------- text

@@ -365,12 +365,20 @@ def _calibrate_int8(predictor, calibration_dir: Optional[str]) -> None:
     paths = sorted(
         p for p in glob.glob(os.path.join(calibration_dir, "*"))
         if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
-    )[:256]
+    )
     if not paths:
         raise SystemExit(
             f"--int8-calibration-dir {calibration_dir!r} contains no "
             "jpeg/png/bmp images"
         )
+    if len(paths) > 256:
+        # An even spread over the (sorted) directory, not the 256
+        # alphabetically-first files: timestamp/ID-named traffic dumps
+        # would otherwise calibrate on one correlated time slice.
+        import numpy as np
+
+        paths = [paths[i] for i in
+                 np.linspace(0, len(paths) - 1, 256).astype(int)]
     predictor.calibrate_int8(predictor.load_images(paths))
     print(f"int8 stem: calibrated on {len(paths)} images -> scales "
           f"{predictor.model_cfg.image.quant_scales}")

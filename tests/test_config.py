@@ -121,3 +121,25 @@ def test_sweep_space_values_match_dotlist_parser():
 
     space = sweep.parse_space(["train.lr.lr_value=5e-4,1e-3"])
     assert space["train.lr.lr_value"] == [5e-4, 1e-3]
+
+
+def test_model_config_from_meta_dict_roundtrip():
+    """ModelConfig -> asdict (checkpoint metadata JSON) -> from_meta_dict
+    is identity, including tuple coercions and unknown-key tolerance."""
+    import dataclasses
+    import json
+
+    from dl_vqa_tpu.models.configs import ImageConfig, ModelConfig
+
+    cfg = ModelConfig(
+        image=ImageConfig(num_channels=(3, 8, 16), store_dtype="int8",
+                          quant_scales=(1.5, 2.25)),
+        max_answers=77,
+        num_tokens=123,
+    )
+    meta = json.loads(json.dumps(dataclasses.asdict(cfg)))  # JSON round
+    assert ModelConfig.from_meta_dict(meta) == cfg
+    # Forward-compat: unknown keys from a newer writer are ignored.
+    meta["image"]["future_field"] = 1
+    meta["future_top"] = {"x": 2}
+    assert ModelConfig.from_meta_dict(meta) == cfg
