@@ -74,9 +74,10 @@ class OnlineBatcher(Batcher):
     semantics are inherited, only the image source differs."""
 
     def __init__(self, dataset: VQADataset, batch_size: int,
-                 loader: JpegLoader, shuffle: bool = False, seed: int = 0):
+                 loader: JpegLoader, shuffle: bool = False, seed: int = 0,
+                 process_slice=None):
         super().__init__(dataset, batch_size, shuffle=shuffle, seed=seed,
-                         load_images=False)
+                         load_images=False, process_slice=process_slice)
         self.loader = loader
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -36,11 +36,19 @@ class Batcher:
         shuffle: bool = False,
         seed: int = 0,
         load_images: bool = True,
+        process_slice=None,
     ):
+        """``batch_size`` is always the GLOBAL batch size. In multi-host
+        runs each process constructs the same Batcher (same seed, so the
+        shuffled order is identical everywhere) and passes its
+        ``process_slice`` (from ``parallel.multihost.process_batch_slice``)
+        to receive only its own contiguous row block of every global
+        batch; ``prefetch_to_device`` then assembles the global array."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.load_images = load_images
+        self.process_slice = process_slice
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -59,12 +67,19 @@ class Batcher:
             real = len(idx)
             if real < bs:  # pad final batch to the static shape
                 idx = np.concatenate([idx, np.repeat(idx[-1], bs - real)])
+            mask = np.arange(bs) < real
+            if self.process_slice is not None:
+                # Multi-host: yield only this process's rows of the
+                # global batch (mask computed globally first, so padded
+                # rows stay masked no matter which process holds them).
+                idx = idx[self.process_slice]
+                mask = mask[self.process_slice]
             batch = {
                 "questions": self.dataset.questions[idx],
                 "lengths": self.dataset.question_lengths[idx],
                 "answer_indices": self.dataset.answer_indices[idx],
                 "answer_values": self.dataset.answer_values[idx],
-                "mask": np.arange(bs) < real,
+                "mask": mask,
                 # sample indices (the reference's batch tuple carries the
                 # index too, ref main.py 7-tuple); consumers may pop it.
                 "indices": idx.astype(np.int32),
@@ -150,5 +165,19 @@ def _put(batch: Dict[str, np.ndarray], sharding) -> Dict:
     if sharding is None:
         return jax.device_put(batch)
     if isinstance(sharding, dict):
-        return {k: jax.device_put(v, sharding.get(k)) for k, v in batch.items()}
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: _put_one(v, sharding.get(k)) for k, v in batch.items()}
+    return {k: _put_one(v, sharding) for k, v in batch.items()}
+
+
+def _put_one(value, sharding):
+    if sharding is not None and not getattr(
+        sharding, "is_fully_addressable", True
+    ):
+        # Multi-host: this process holds only its local rows (see
+        # Batcher.process_slice); assemble the global array from every
+        # process's contribution. device_put would require the full
+        # global value on every host.
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(value)
+        )
+    return jax.device_put(value, sharding)

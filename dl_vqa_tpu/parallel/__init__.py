@@ -1,5 +1,7 @@
-"""SPMD parallelism: device meshes and sharding rules."""
+"""SPMD parallelism: device meshes, sharding rules, and the multi-host
+tier (``dl_vqa_tpu.parallel.multihost``)."""
 
+from dl_vqa_tpu.parallel import multihost
 from dl_vqa_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -9,4 +11,4 @@ from dl_vqa_tpu.parallel.mesh import (
 )
 
 __all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated",
-           "state_shardings"]
+           "state_shardings", "multihost"]

@@ -188,6 +188,10 @@ def train(
     ckpt_meta = (
         {"max_question_length": int(max_q_len)} if max_q_len else None
     )
+    # Multi-host: every process computes the same (fully replicated)
+    # metrics, but only the coordinator writes checkpoints — the npz
+    # backend gathers to host numpy, which needs addressable leaves.
+    save_model = train_params.save_model and jax.process_index() == 0
 
     for epoch in range(start_epoch, train_params.num_epochs):
         # Profile the second epoch: the first is dominated by compilation.
@@ -268,13 +272,13 @@ def train(
         if eval_score > best_eval_score:
             epochs_no_improve = 0
             best_eval_score = eval_score
-            if train_params.save_model:
+            if save_model:
                 logger.save_model(state, epoch, model_cfg,
                                   extra_meta=ckpt_meta)
         else:
             epochs_no_improve += 1
 
-        if train_params.save_model:
+        if save_model:
             # Crash recovery: overwrite a rolling full-state checkpoint
             # (params + Adam moments + step) every epoch. The serialization
             # and write run on a background thread off the critical path.

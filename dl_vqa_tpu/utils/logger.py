@@ -18,7 +18,7 @@ import os
 from datetime import datetime
 from typing import Dict, Optional
 
-__all__ = ["TrainLogger"]
+__all__ = ["TrainLogger", "QuietLogger"]
 
 
 class _NoOpWriter:
@@ -26,6 +26,43 @@ class _NoOpWriter:
     def add_scalars(self, *a, **k): pass
     def add_hparams(self, *a, **k): pass
     def flush(self): pass
+    def close(self): pass
+
+
+class QuietLogger:
+    """TrainLogger surface for non-coordinator processes in multi-host
+    runs: no experiment dir, no files, no TensorBoard — only warnings
+    reach stderr (prefixed with the process index so interleaved output
+    stays attributable). ``report_compiled_graph`` is deliberately NOT
+    defined: the train loop feature-tests for it, and only the
+    coordinator should dump the StableHLO."""
+
+    exp_dir = None
+    exp_name = None
+    checkpoint_backend = "npz"
+
+    def __init__(self, process_index: int = 0):
+        self._prefix = f"[p{process_index}] "
+
+    def write(self, text, epoch=None, severity: str = "info"):
+        if severity == "warning":
+            log = f"(EPOCH {epoch}) {text}" if epoch is not None else text
+            logging.getLogger(__name__).warning(self._prefix + str(log))
+
+    def write_epoch_statistics(self, *a, **k): pass
+    def report_scalar(self, *a, **k): pass
+    def report_scalars(self, *a, **k): pass
+    def report_scalar_same_plot(self, *a, **k): pass
+    def report_scalars_same_plot(self, *a, **k): pass
+    def report_metrics_hyper_params(self, *a, **k): pass
+    def report_graph(self, *a, **k): pass
+
+    def save_model(self, *a, **k):
+        raise RuntimeError(
+            "QuietLogger cannot save checkpoints — gate saves on "
+            "parallel.multihost.is_coordinator()"
+        )
+
     def close(self): pass
 
 

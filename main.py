@@ -34,47 +34,60 @@ def main(cfg: dict) -> float:
     from dl_vqa_tpu.parallel import batch_sharding as make_batch_sharding
     from dl_vqa_tpu.parallel import make_mesh
     from dl_vqa_tpu.train import TrainParams, train
+    from dl_vqa_tpu.parallel import multihost
     from dl_vqa_tpu.utils import misc
-    from dl_vqa_tpu.utils.logger import TrainLogger
+    from dl_vqa_tpu.utils.logger import QuietLogger, TrainLogger
 
     misc.init(cfg)
     profile = cfg["main"]["full" if cfg["main"]["use_full"] else "small"]
 
-    logger = TrainLogger(
-        exp_name_prefix=cfg["main"]["experiment_name_prefix"],
-        logs_dir=profile["paths"]["logs"],
-        checkpoint_backend=cfg["tpu"].get("checkpoint_backend", "npz"),
-    )
+    # Multi-host (one process per TPU host): joins the cluster iff the
+    # JAX_COORDINATOR_ADDRESS env is set — must precede the first device
+    # query below. Single-process runs no-op here.
+    multihost.maybe_initialize(log=print)
+    if multihost.is_coordinator():
+        logger = TrainLogger(
+            exp_name_prefix=cfg["main"]["experiment_name_prefix"],
+            logs_dir=profile["paths"]["logs"],
+            checkpoint_backend=cfg["tpu"].get("checkpoint_backend", "npz"),
+        )
+    else:
+        # Non-coordinators compute the same replicated metrics but write
+        # nothing; warnings still reach stderr with a process prefix.
+        logger = QuietLogger(jax.process_index())
     logger.write(f"Devices: {jax.devices()}")
     logger.write(config_mod.to_yaml(cfg))
     misc.set_seed(cfg["main"]["seed"])
 
     # Build-or-load offline caches (vocab, h5 images, encoded datasets).
-    vocab_path = profile["paths"]["vocab_path"]
-    if not os.path.exists(vocab_path):
-        logger.write("Creating Vocab")
-        vocab_mod.create_vocab(
-            data_base_path=profile["paths"]["base_path"],
-            data_paths=profile["train_paths"],
-            vocab_path=vocab_path,
-            max_answers=cfg["train"]["max_answers"],
-        )
-
+    # Multi-host: only the coordinator builds (shared filesystem assumed,
+    # as on TPU pods); everyone else waits at the barrier below and loads.
     online_images = cfg["tpu"]["online_images"]
-    if not online_images:
-        for split in ("train_paths", "val_paths"):
-            processed = profile[split]["processed_imgs"]
-            if not os.path.exists(processed):
-                logger.write(f"Processing {split} images -> {processed}")
-                preprocess_images(
-                    other_paths=profile["paths"],
-                    data_paths=profile[split],
-                    image_size=cfg["train"]["image_size"],
-                    central_fraction=cfg["train"]["central_fraction"],
-                    processed_path=processed,
-                    log=logger.write,
-                    backend=cfg["tpu"]["image_builder_backend"],
-                )
+    vocab_path = profile["paths"]["vocab_path"]
+    if multihost.is_coordinator():
+        if not os.path.exists(vocab_path):
+            logger.write("Creating Vocab")
+            vocab_mod.create_vocab(
+                data_base_path=profile["paths"]["base_path"],
+                data_paths=profile["train_paths"],
+                vocab_path=vocab_path,
+                max_answers=cfg["train"]["max_answers"],
+            )
+
+        if not online_images:
+            for split in ("train_paths", "val_paths"):
+                processed = profile[split]["processed_imgs"]
+                if not os.path.exists(processed):
+                    logger.write(f"Processing {split} images -> {processed}")
+                    preprocess_images(
+                        other_paths=profile["paths"],
+                        data_paths=profile[split],
+                        image_size=cfg["train"]["image_size"],
+                        central_fraction=cfg["train"]["central_fraction"],
+                        processed_path=processed,
+                        log=logger.write,
+                        backend=cfg["tpu"]["image_builder_backend"],
+                    )
 
     def load_or_build(split: str, answerable_only: bool) -> VQADataset:
         cache = VQADataset.cache_path(profile[split]["vqaDataset"])
@@ -103,8 +116,13 @@ def main(cfg: dict) -> float:
         ds.save(cache)
         return ds
 
-    train_dataset = load_or_build("train_paths", answerable_only=True)
-    val_dataset = load_or_build("val_paths", answerable_only=False)
+    if multihost.is_coordinator():
+        train_dataset = load_or_build("train_paths", answerable_only=True)
+        val_dataset = load_or_build("val_paths", answerable_only=False)
+    multihost.barrier("offline-caches-built")
+    if not multihost.is_coordinator():
+        train_dataset = load_or_build("train_paths", answerable_only=True)
+        val_dataset = load_or_build("val_paths", answerable_only=False)
 
     # Model
     model_cfg = ModelConfig.from_cfg(
@@ -170,11 +188,18 @@ def main(cfg: dict) -> float:
     # for the shared policy and docs/PERF_NOTES.md for the measurement.
     from dl_vqa_tpu.data.device_cache import plan_image_tables
 
-    if online_images:
+    if online_images or multihost.active():
         # Online batches carry in-batch uint8 JPEGs decoded on the fly;
         # the step never reads a feature table, so uploading one (a
         # dataset built earlier in h5 mode can still have image rows)
-        # would only waste HBM.
+        # would only waste HBM. Multi-host runs feed per-process batches
+        # instead of a resident table (table upload across processes is
+        # future work — docs/SCALING.md).
+        if multihost.active() and not online_images:
+            logger.write(
+                "multihost: device image cache disabled; images ship "
+                "per batch from each process's host"
+            )
         train_image_table = eval_image_table = None
     else:
         tables = plan_image_tables(
@@ -203,21 +228,32 @@ def main(cfg: dict) -> float:
                 num_threads=cfg["main"]["num_workers"],
             )
 
+    # Multi-host: each process feeds only its contiguous row block of
+    # every global batch (the seed-shared shuffle keeps the global batch
+    # composition identical to a single-process run).
+    proc_slice = multihost.process_batch_slice(
+        b_sharding, cfg["train"]["batch_size"]
+    )
+    if online_images:
         train_batcher = OnlineBatcher(
             train_dataset, cfg["train"]["batch_size"],
             make_loader("train_paths"), shuffle=True, seed=cfg["main"]["seed"],
+            process_slice=proc_slice,
         )
         val_batcher = OnlineBatcher(
-            val_dataset, cfg["train"]["batch_size"], make_loader("val_paths")
+            val_dataset, cfg["train"]["batch_size"], make_loader("val_paths"),
+            process_slice=proc_slice,
         )
     else:
         train_batcher = Batcher(
             train_dataset, cfg["train"]["batch_size"], shuffle=True,
             seed=cfg["main"]["seed"],
             load_images=train_image_table is None,
+            process_slice=proc_slice,
         )
         val_batcher = Batcher(val_dataset, cfg["train"]["batch_size"],
-                              load_images=eval_image_table is None)
+                              load_images=eval_image_table is None,
+                              process_slice=proc_slice)
 
     train_params = TrainParams.from_cfg(cfg)
     metrics = train(

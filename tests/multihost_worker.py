@@ -1,0 +1,145 @@
+"""Standalone worker for tests/test_multihost.py — NOT a pytest module.
+
+Runs the real Batcher -> prefetch_to_device -> fused-train-step -> eval
+pipeline on a tiny model, either single-process (8 virtual devices) or
+as one rank of a gloo-coordinated multi-process CPU cluster (4 virtual
+devices per rank by default), and prints a single JSON line of per-step
+losses/scores + the final eval so the test can compare the two modes.
+This is the real multi-controller code path (jax.distributed +
+make_array_from_process_local_data + cross-process collectives), not a
+simulation — the same recipe runs one process per host on a TPU pod.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=1)
+    ap.add_argument("--pid", type=int, default=0)
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--local-devices", type=int, default=8)
+    ap.add_argument("--global-batch", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=2)
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.local_devices}"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if args.procs > 1:
+        # XLA's CPU cross-process collective fabric (stands in for DCN).
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        from dl_vqa_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=f"127.0.0.1:{args.port}",
+            num_processes=args.procs,
+            process_id=args.pid,
+        )
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dl_vqa_tpu.data.pipeline import Batcher, prefetch_to_device
+    from dl_vqa_tpu.models import ModelConfig, vqa
+    from dl_vqa_tpu.models.configs import (
+        AttentionConfig,
+        ClassifierConfig,
+        ImageConfig,
+        TextConfig,
+    )
+    from dl_vqa_tpu.parallel import batch_sharding, make_mesh
+    from dl_vqa_tpu.parallel import multihost
+    from dl_vqa_tpu.train.loop import evaluate
+    from dl_vqa_tpu.train.state import create_train_state
+    from dl_vqa_tpu.train.steps import (
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = ModelConfig(
+        text=TextConfig(question_features=16, embedding_features=8,
+                        dropout=0.0),
+        image=ImageConfig(num_channels=(3, 4, 8), dropout=0.0),
+        attention=AttentionConfig(hidden_dim=16, glimpses=2, dropout=0.0),
+        classifier=ClassifierConfig(hidden_dim=16, dropout=0.0),
+        max_answers=16,
+        image_size=32,
+        num_tokens=32,
+    )
+
+    class TinyDataset:
+        """Deterministic in-memory stand-in with the Batcher's dataset
+        surface (questions/lengths/answers + load_images_nhwc)."""
+
+        def __init__(self, n: int, seed: int):
+            r = np.random.default_rng(seed)
+            self.questions = r.integers(
+                0, cfg.num_tokens, (n, 6)
+            ).astype(np.int32)
+            self.question_lengths = r.integers(1, 7, (n,)).astype(np.int32)
+            self.answer_indices = r.integers(
+                1, cfg.max_answers + 1, (n, 2)
+            ).astype(np.int32)
+            self.answer_values = r.integers(1, 10, (n, 2)).astype(np.int32)
+            self._images = r.standard_normal(
+                (n, cfg.image_size, cfg.image_size, 3)
+            ).astype(np.float32)
+
+        def __len__(self) -> int:
+            return len(self.questions)
+
+        def load_images_nhwc(self, idx):
+            return self._images[idx]
+
+    mesh = make_mesh(data=-1, model=1)  # all GLOBAL devices
+    bsh = batch_sharding(mesh)
+    gb = args.global_batch
+    proc_slice = multihost.process_batch_slice(bsh, gb)
+
+    # 3 batches/epoch; the last is padded (n not divisible by gb).
+    train_ds = TinyDataset(2 * gb + gb // 2, seed=5)
+    eval_ds = TinyDataset(gb + gb // 2, seed=9)
+    train_batcher = Batcher(train_ds, gb, shuffle=True, seed=3,
+                            process_slice=proc_slice)
+    eval_batcher = Batcher(eval_ds, gb, process_slice=proc_slice)
+
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(params, tx)
+    train_step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    eval_step = make_eval_step(cfg, compute_dtype=jnp.float32)
+    rng = jax.random.PRNGKey(7)
+
+    losses, scores = [], []
+    for _ in range(args.epochs):
+        for batch in prefetch_to_device(iter(train_batcher), bsh):
+            state, m = train_step(state, batch, rng)
+            losses.append(float(m["loss"]))
+            scores.append(float(m["score"]))
+    eval_score, eval_loss = evaluate(eval_step, state.params, eval_batcher,
+                                     bsh)
+    print(json.dumps({
+        "pid": jax.process_index(),
+        "procs": jax.process_count(),
+        "devices": jax.device_count(),
+        "losses": losses,
+        "scores": scores,
+        "eval_score": eval_score,
+        "eval_loss": eval_loss,
+    }))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

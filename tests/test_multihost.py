@@ -1,0 +1,152 @@
+"""Multi-host (multi-process) tier tests.
+
+The distributed tier everywhere else in the suite runs on one process
+with 8 virtual devices; these tests run REAL multi-process coordination:
+two gloo-linked CPU processes with 4 virtual devices each execute the
+full Batcher -> prefetch -> fused-train-step -> eval pipeline over one
+global 8-device mesh (tests/multihost_worker.py) and must match the
+single-process 8-device run per step. This validates exactly the recipe
+main.py uses on a TPU pod (one process per host, DCN collectives).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _env():
+    env = dict(os.environ)
+    # The worker sets its own platform/device-count env; scrub the
+    # suite's so they don't conflict. Running the script by path puts
+    # tests/ (not the repo root) on sys.path, hence PYTHONPATH.
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run_worker(extra_args, timeout=420):
+    env = _env()
+    proc = subprocess.run(
+        [sys.executable, WORKER, *extra_args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"worker {extra_args} failed:\n{proc.stdout}\n{proc.stderr}"
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def runs():
+    """One single-process run + one 2-process run of the same program."""
+    single = _run_worker(["--procs", "1", "--local-devices", "8"])
+
+    port = _free_port()
+    env = _env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "--procs", "2", "--pid", str(pid),
+             "--port", str(port), "--local-devices", "4"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return single, outs
+
+
+def test_multiprocess_matches_single_process(runs):
+    """Two coordinated processes over one global mesh produce the same
+    per-step training losses/scores and final eval as one process with
+    all 8 devices (the all-reduce crosses the process boundary)."""
+    single, (r0, r1) = runs
+    assert r0["procs"] == r1["procs"] == 2
+    assert r0["devices"] == r1["devices"] == 8
+    assert single["devices"] == 8
+    # Same global program; gloo vs intra-process all-reduce may round
+    # differently in f32, hence allclose (tight) not equality.
+    np.testing.assert_allclose(r0["losses"], single["losses"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r0["scores"], single["scores"],
+                               rtol=1e-5, atol=1e-6)
+    assert r0["eval_score"] == pytest.approx(single["eval_score"], abs=1e-4)
+    assert r0["eval_loss"] == pytest.approx(single["eval_loss"], rel=1e-5)
+
+
+def test_ranks_agree(runs):
+    """Metrics are fully replicated: every rank reports identical values
+    (the coordinator-only logging gate loses no information)."""
+    _, (r0, r1) = runs
+    assert r0["losses"] == r1["losses"]
+    assert r0["scores"] == r1["scores"]
+    assert r0["eval_score"] == r1["eval_score"]
+
+
+def test_batcher_process_slice_partitions_batches():
+    """Two Batchers with complementary process slices reconstruct the
+    single Batcher's global batches exactly (same seed => same order)."""
+    from dl_vqa_tpu.data.pipeline import Batcher
+
+    class DS:
+        def __init__(self, n):
+            r = np.random.default_rng(0)
+            self.questions = r.integers(0, 9, (n, 4)).astype(np.int32)
+            self.question_lengths = np.full(n, 4, np.int32)
+            self.answer_indices = r.integers(1, 5, (n, 2)).astype(np.int32)
+            self.answer_values = r.integers(1, 9, (n, 2)).astype(np.int32)
+
+        def __len__(self):
+            return len(self.questions)
+
+    ds = DS(22)  # 3 batches of 8, last padded
+    full = list(Batcher(ds, 8, shuffle=True, seed=3, load_images=False))
+    halves = [
+        list(Batcher(ds, 8, shuffle=True, seed=3, load_images=False,
+                     process_slice=s))
+        for s in (slice(0, 4), slice(4, 8))
+    ]
+    assert len(full) == len(halves[0]) == len(halves[1]) == 3
+    for b_full, b0, b1 in zip(full, *halves):
+        for key in b_full:
+            glued = np.concatenate([b0[key], b1[key]])
+            np.testing.assert_array_equal(glued, b_full[key], err_msg=key)
+    # the padded rows of the final batch stay masked wherever they land
+    assert full[-1]["mask"].sum() == 6
+
+
+def test_process_batch_slice_single_process_is_none():
+    import jax
+
+    from dl_vqa_tpu.parallel import batch_sharding, make_mesh
+    from dl_vqa_tpu.parallel import multihost
+
+    mesh = make_mesh(data=-1, model=1)
+    assert multihost.process_batch_slice(batch_sharding(mesh), 16) is None
+    assert multihost.is_coordinator()
+    assert not multihost.active()
+    multihost.barrier("noop")  # single-process no-op
+    assert jax.process_count() == 1
