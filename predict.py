@@ -166,6 +166,36 @@ class Predictor:
                 epoch=self._ckpt_meta.get("epoch"), extra_meta=extra,
             )
 
+    # ------------------------------------------------------------- export
+
+    def export_artifact(self, path: str, batch_sizes: Sequence[int] = (1, 8),
+                        platforms: Optional[Sequence[str]] = None) -> None:
+        """Write an AOT serving artifact (serialized StableHLO forward +
+        weights + decode metadata) to the directory ``path`` — loadable
+        by ``dl_vqa_tpu.utils.aot_export.load_artifact`` with no model
+        code (see that module's docstring). Numerics are frozen at
+        export: the current model_cfg (incl. any calibrated int8 scales
+        and dispatch defaults) is compiled in."""
+        from dl_vqa_tpu.models import vqa
+        from dl_vqa_tpu.utils.aot_export import export_artifact
+
+        model_cfg = self.model_cfg
+        dtype = self._compute_dtype
+
+        def forward(params, images, questions, lengths):
+            return vqa.apply(params, model_cfg, images, questions, lengths,
+                             train=False, compute_dtype=dtype)
+
+        export_artifact(
+            path, self.params, forward,
+            batch_sizes=batch_sizes,
+            image_size=self.image_size,
+            max_question_length=self.max_question_length,
+            vocab=self.vocab,
+            central_fraction=self.central_fraction,
+            platforms=platforms,
+        )
+
     # ------------------------------------------------------------- text
 
     def encode_questions(self, questions: Sequence[str],
@@ -309,6 +339,12 @@ def main(argv=None) -> int:
     parser.add_argument("--top-k", type=int, default=5)
     parser.add_argument("--submission", default="",
                         help="write official-format answers for the val split")
+    parser.add_argument("--export-artifact", default="",
+                        help="write an AOT serving artifact directory "
+                             "(serialized forward + weights + metadata; "
+                             "see dl_vqa_tpu.utils.aot_export)")
+    parser.add_argument("--export-batch-sizes", default="1,8",
+                        help="comma-separated batch buckets to export")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -319,6 +355,15 @@ def main(argv=None) -> int:
         checkpoint_path=profile["paths"]["pretrained_model_path"],
         vocab_path=profile["paths"]["vocab_path"],
     )
+
+    if args.export_artifact:
+        sizes = tuple(
+            int(s) for s in args.export_batch_sizes.split(",") if s
+        )
+        predictor.export_artifact(args.export_artifact, batch_sizes=sizes)
+        print(f"wrote serving artifact (batches {sizes}) to "
+              f"{args.export_artifact}")
+        return 0
 
     if args.submission:
         from dl_vqa_tpu.data.dataset import load_or_build_val_dataset
