@@ -26,7 +26,8 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(tmp_root: str, max_batch: int, window_ms: float):
+def build(tmp_root: str, max_batch: int, window_ms: float,
+          native: bool = False):
     import jax
 
     from dl_vqa_tpu import config as config_mod
@@ -66,16 +67,27 @@ def build(tmp_root: str, max_batch: int, window_ms: float):
                              extra_meta={"max_question_length":
                                          int(ds.max_question_length)})
 
-    httpd, service = serve.build_server(
-        cfg, port=0, max_batch=max_batch, batch_window_ms=window_ms
-    )
-    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    if native:
+        # C++ front (serve.py --native-front): HTTP/JSON/base64/decode/
+        # tokenize/batching in native threads, Python dispatch only.
+        service = serve.build_native_server(
+            cfg, port=0, max_batch=max_batch, batch_window_ms=window_ms
+        )
+        service.start_dispatch()
+        httpd = None
+        port = service.port
+    else:
+        httpd, service = serve.build_server(
+            cfg, port=0, max_batch=max_batch, batch_window_ms=window_ms
+        )
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        port = httpd.server_address[1]
 
     img_dir = os.path.join(profile["paths"]["base_path"], "val2014")
     jpeg = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
     with open(jpeg, "rb") as fd:
         image_b64 = base64.b64encode(fd.read()).decode()
-    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    base = f"http://127.0.0.1:{port}"
     return base, image_b64, service, httpd
 
 
@@ -146,6 +158,9 @@ def main():
                     help="force the CPU backend (script smoke test; the "
                     "env var is overridden by the TPU plugin, see "
                     "docs/PERF_NOTES.md gotchas)")
+    ap.add_argument("--native", action="store_true",
+                    help="drive the native C++ front (serve.py "
+                    "--native-front) instead of the Python daemon")
     args = ap.parse_args()
 
     if args.cpu:
@@ -154,7 +169,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     base, image_b64, service, httpd = build(
-        "/tmp/dl_vqa_serve_load", args.max_batch, args.window_ms
+        "/tmp/dl_vqa_serve_load", args.max_batch, args.window_ms,
+        native=args.native,
     )
     # Warm every batch bucket BEFORE measurement via the service's own
     # sweep — it walks the exact served `_bucket` shapes, including the
@@ -178,7 +194,8 @@ def main():
         print(json.dumps(r), flush=True)
 
     service.stop()
-    httpd.shutdown()
+    if httpd is not None:
+        httpd.shutdown()
     print(json.dumps({"summary": results}))
 
 

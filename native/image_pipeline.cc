@@ -29,10 +29,11 @@
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
-#include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#include "transform.h"
 
 namespace {
 
@@ -78,6 +79,38 @@ bool DecodeJpeg(const char* path, std::vector<uint8_t>* pixels, int* width,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   std::fclose(fp);
+  return true;
+}
+
+// Decode an in-memory JPEG buffer to RGB8 (serving path). Same error
+// discipline as the file variant: libjpeg hard errors longjmp back here
+// and report false instead of killing the process.
+bool DecodeJpegMem(const uint8_t* data, size_t len, std::vector<uint8_t>* pixels,
+                   int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  *width = cinfo.output_width;
+  *height = cinfo.output_height;
+  pixels->resize(size_t(*width) * *height * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = pixels->data() + size_t(cinfo.output_scanline) * *width * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
   return true;
 }
 
@@ -157,13 +190,11 @@ void VerticalPass(const float* in, float* out, int in_h, int out_h,
   }
 }
 
-// Full reference transform -> uint8 [image_size, image_size, 3].
-bool TransformOneImpl(const char* path, int image_size,
-                      double central_fraction, uint8_t* out) {
-  std::vector<uint8_t> pixels;
-  int w = 0, h = 0;
-  if (!DecodeJpeg(path, &pixels, &w, &h)) return false;
-
+// Resize + center-crop tail of the reference transform, shared by the
+// file and in-memory decode entry points: decoded RGB8 [h, w, 3] ->
+// uint8 [image_size, image_size, 3].
+bool ResampleCropTail(const std::vector<uint8_t>& pixels, int w, int h,
+                      int image_size, double central_fraction, uint8_t* out) {
   // Shorter-edge target (ref: int(image_size / central_fraction)).
   const int target = int(image_size / central_fraction);
   int new_w, new_h;
@@ -202,19 +233,42 @@ bool TransformOneImpl(const char* path, int image_size,
   return true;
 }
 
+}  // namespace
+
+namespace vqa {
+
 // Exception firewall: a corrupt header can declare huge dimensions whose
 // buffer allocations throw std::bad_alloc — an exception escaping a
 // std::thread worker calls std::terminate and kills the host process,
 // violating the "returns the number of failures" contract.
-bool TransformOne(const char* path, int image_size, double central_fraction,
-                  uint8_t* out) {
+bool TransformFile(const char* path, int image_size, double central_fraction,
+                   uint8_t* out) {
   try {
-    return TransformOneImpl(path, image_size, central_fraction, out);
+    std::vector<uint8_t> pixels;
+    int w = 0, h = 0;
+    if (!DecodeJpeg(path, &pixels, &w, &h)) return false;
+    return ResampleCropTail(pixels, w, h, image_size, central_fraction, out);
   } catch (...) {
     return false;
   }
 }
 
+bool TransformMem(const uint8_t* data, size_t len, int image_size,
+                  double central_fraction, uint8_t* out) {
+  try {
+    std::vector<uint8_t> pixels;
+    int w = 0, h = 0;
+    if (!DecodeJpegMem(data, len, &pixels, &w, &h)) return false;
+    return ResampleCropTail(pixels, w, h, image_size, central_fraction, out);
+  } catch (...) {
+    return false;
+  }
+}
+
+}  // namespace vqa
+
+namespace {
+using vqa::TransformFile;
 }  // namespace
 
 extern "C" {
@@ -222,7 +276,7 @@ extern "C" {
 // Decode one JPEG into out[image_size*image_size*3]. Returns 0 on success.
 int vqa_decode_one(const char* path, int image_size, double central_fraction,
                    uint8_t* out) {
-  return TransformOne(path, image_size, central_fraction, out) ? 0 : 1;
+  return TransformFile(path, image_size, central_fraction, out) ? 0 : 1;
 }
 
 // Batch across an internal thread pool. `paths` is an array of n C strings;
@@ -237,7 +291,7 @@ int vqa_process_batch(const char** paths, int n, int image_size,
   auto worker = [&]() {
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       uint8_t* dst = out + size_t(i) * img_bytes;
-      if (!TransformOne(paths[i], image_size, central_fraction, dst)) {
+      if (!TransformFile(paths[i], image_size, central_fraction, dst)) {
         std::memset(dst, 0, img_bytes);
         failures.fetch_add(1);
       }

@@ -413,6 +413,43 @@ def build_server(cfg, port: int = 0, max_batch: int = 64,
     return server, service
 
 
+def build_native_server(cfg, port: int = 0, max_batch: int = 64,
+                        batch_window_ms: float = 5.0,
+                        host: str = "127.0.0.1",
+                        request_timeout_s: float = 300.0,
+                        max_queue: int = 0, warmup: bool = False,
+                        int8_calibration_dir: str = None,
+                        topk_cap: int = 16):
+    """Native-front variant of :func:`build_server`: the whole
+    per-request path (HTTP, JSON, base64, JPEG decode, tokenize,
+    queueing, batching, response writes) runs in C++ threads
+    (native/serve_front.cc); Python only runs the jitted dispatch loop.
+    Returns a :class:`dl_vqa_tpu.utils.native_front.NativeFrontService`
+    with its dispatch thread NOT yet running — call
+    ``service.start_dispatch()`` (background) or
+    ``service.dispatch_forever()`` (foreground)."""
+    from predict import Predictor
+
+    from dl_vqa_tpu.utils.native_front import NativeFrontService
+
+    profile = cfg["main"]["full" if cfg["main"]["use_full"] else "small"]
+    predictor = Predictor(
+        cfg,
+        checkpoint_path=profile["paths"]["pretrained_model_path"],
+        vocab_path=profile["paths"]["vocab_path"],
+    )
+    if predictor.needs_int8_calibration:
+        _calibrate_int8(predictor, int8_calibration_dir)
+    service = NativeFrontService(
+        predictor, host=host, port=port, max_batch=max_batch,
+        batch_window_ms=batch_window_ms, max_queue=max_queue,
+        request_timeout_s=request_timeout_s, topk_cap=topk_cap,
+    )
+    if warmup:
+        service.warmup()
+    return service
+
+
 def main(argv=None) -> int:
     from dl_vqa_tpu import config as config_mod
 
@@ -432,6 +469,17 @@ def main(argv=None) -> int:
                         help="skip the background bucket pre-compile "
                              "sweep (first request per batch bucket "
                              "then pays XLA compilation)")
+    parser.add_argument("--native-front", action="store_true",
+                        help="serve through the C++ front "
+                             "(native/serve_front.cc): HTTP/JSON/base64/"
+                             "JPEG-decode/tokenize/batching in native "
+                             "threads, Python only dispatches the jitted "
+                             "forward. JPEG images only; see "
+                             "docs/SERVING.md")
+    parser.add_argument("--topk-cap", type=int, default=16,
+                        help="native front only: static width of the "
+                             "in-graph lax.top_k (requests asking for "
+                             "more get 400)")
     parser.add_argument("--int8-calibration-dir", default=None,
                         help="directory of representative jpeg/png images "
                              "to calibrate the W8A8 int8 stem on "
@@ -441,6 +489,23 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     cfg = config_mod.compose("config_eval", overrides=args.overrides)
+    if args.native_front:
+        service = build_native_server(
+            cfg, port=args.port, max_batch=args.max_batch,
+            batch_window_ms=args.batch_window_ms, host=args.host,
+            request_timeout_s=args.request_timeout_s,
+            max_queue=args.max_queue, warmup=not args.no_warmup,
+            int8_calibration_dir=args.int8_calibration_dir,
+            topk_cap=args.topk_cap,
+        )
+        print(f"serving on http://{args.host}:{service.port} "
+              f"(native front, max_batch={args.max_batch}, "
+              f"window={args.batch_window_ms}ms)")
+        try:
+            service.dispatch_forever()
+        finally:
+            service.stop()
+        return 0
     server, _service = build_server(
         cfg, port=args.port, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms, host=args.host,
