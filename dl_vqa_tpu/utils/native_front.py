@@ -152,31 +152,43 @@ class NativeFrontService:
             float(request_timeout_s), max_conns,
         )
         if rc != 0:
-            raise RuntimeError(
-                f"vqa_front_start failed (code {rc}); is another native "
-                "front still running in this process?"
+            detail = {
+                2: f"cannot resolve host {host!r} (IPv4 only)",
+                3: f"cannot bind {host}:{port} (port in use?)",
+                4: "listen() failed",
+                5: "another native front is still running in this "
+                   "process; stop() it first",
+            }.get(rc, "socket setup failed")
+            raise RuntimeError(f"vqa_front_start failed (code {rc}): {detail}")
+        # The C++ listener is live from here on: if the rest of setup
+        # fails, stop it before propagating, or the orphan keeps the port
+        # and blocks every retry with start code 5.
+        try:
+            self.port = int(self.lib.vqa_front_port())
+            # Generation guard: every batch-side call names the front it
+            # was built against, so a stale dispatch thread can never fill
+            # buffers sized for a replaced front (C++ checks and refuses).
+            self._gen = int(self.lib.vqa_front_generation())
+            self._upload_vocab()
+            self.lib.vqa_front_set_backend(jax.default_backend().encode())
+
+            self._fwd = self._build_forward()
+            self._stop = threading.Event()
+            self._dispatch_thread: Optional[threading.Thread] = None
+
+            # Reused handoff buffers (C++ copies into them in next_batch).
+            self._images = np.zeros(
+                (max_batch, self.image_size, self.image_size, 3),
+                dtype=np.uint8,
             )
-        self.port = int(self.lib.vqa_front_port())
-        # Generation guard: every batch-side call names the front it was
-        # built against, so a stale dispatch thread can never fill
-        # buffers sized for a replaced front (C++ checks and refuses).
-        self._gen = int(self.lib.vqa_front_generation())
-        self._upload_vocab()
-        self.lib.vqa_front_set_backend(jax.default_backend().encode())
-
-        self._fwd = self._build_forward()
-        self._stop = threading.Event()
-        self._dispatch_thread: Optional[threading.Thread] = None
-
-        # Reused handoff buffers (C++ copies into them inside next_batch).
-        self._images = np.zeros(
-            (max_batch, self.image_size, self.image_size, 3), dtype=np.uint8
-        )
-        self._questions = np.zeros(
-            (max_batch, self.max_question_length), dtype=np.int32
-        )
-        self._lengths = np.ones(max_batch, dtype=np.int32)
-        self._topks = np.zeros(max_batch, dtype=np.int32)
+            self._questions = np.zeros(
+                (max_batch, self.max_question_length), dtype=np.int32
+            )
+            self._lengths = np.ones(max_batch, dtype=np.int32)
+            self._topks = np.zeros(max_batch, dtype=np.int32)
+        except BaseException:
+            self.lib.vqa_front_stop()
+            raise
 
     # ------------------------------------------------------------- setup
 

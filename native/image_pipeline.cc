@@ -100,6 +100,17 @@ bool DecodeJpegMem(const uint8_t* data, size_t len, std::vector<uint8_t>* pixels
   jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+
+  // Decompression-bomb guard (untrusted serving input): a few-hundred-
+  // byte JPEG can declare 65535x65535 and force a ~13 GB allocation.
+  // Reject above PIL's DecompressionBombError threshold (2x
+  // MAX_IMAGE_PIXELS = 178,956,970 px) — the same inputs the Python
+  // front's PIL decode refuses.
+  constexpr uint64_t kMaxPixels = 178956970;
+  if (uint64_t(cinfo.image_width) * cinfo.image_height > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   jpeg_start_decompress(&cinfo);
 
   *width = cinfo.output_width;

@@ -60,6 +60,7 @@
 //   vqa_front_tokenize(question, out_ids, max_len) -> length (test hook)
 
 #include <arpa/inet.h>
+#include <netdb.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
@@ -96,16 +97,20 @@ using Clock = std::chrono::steady_clock;
 // (validate=False): characters outside the alphabet are discarded;
 // decoding stops at the first '='. Returns false only when the number
 // of significant characters is not a valid base64 length.
-bool Base64Decode(const char* in, size_t len, std::vector<uint8_t>* out) {
-  static int8_t table[256];
-  static bool init = false;
-  if (!init) {
-    std::memset(table, -1, sizeof(table));
+struct Base64Table {
+  int8_t v[256];
+  Base64Table() {
+    std::memset(v, -1, sizeof(v));
     const char* alphabet =
         "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
-    for (int i = 0; i < 64; ++i) table[uint8_t(alphabet[i])] = int8_t(i);
-    init = true;
+    for (int i = 0; i < 64; ++i) v[uint8_t(alphabet[i])] = int8_t(i);
   }
+};
+
+bool Base64Decode(const char* in, size_t len, std::vector<uint8_t>* out) {
+  // Magic static: thread-safe one-time init (concurrent first requests
+  // previously raced on a check-then-write flag).
+  static const Base64Table table;
   out->clear();
   out->reserve(len / 4 * 3);
   uint32_t acc = 0;
@@ -113,7 +118,7 @@ bool Base64Decode(const char* in, size_t len, std::vector<uint8_t>* out) {
   for (size_t i = 0; i < len; ++i) {
     const char c = in[i];
     if (c == '=') break;
-    const int8_t v = table[uint8_t(c)];
+    const int8_t v = table.v[uint8_t(c)];
     if (v < 0) continue;  // discard non-alphabet (Python default)
     acc = (acc << 6) | uint32_t(v);
     bits += 6;
@@ -402,9 +407,14 @@ struct Front {
   double request_timeout_s = 300.0;
   int max_conns = 512;
 
-  // immutable after setup
+  // Immutable once the matching _set flag is true. The listener starts
+  // accepting before Python uploads these, so /v1/answer returns 503
+  // until both flags are set (the atomics order the map/vector writes
+  // before any reader that observes true).
   std::unordered_map<std::string, int32_t> question_vocab;
   std::vector<std::string> answers;  // index i <-> 1-based answer id i+1
+  std::atomic<bool> vocab_set{false};
+  std::atomic<bool> answers_set{false};
 
   // listener
   int listen_fd = -1;
@@ -658,6 +668,10 @@ std::string MetricsJson(Front& f) {
 // Handle POST /v1/answer. Returns (status, body) to write.
 std::pair<int, std::string> HandleAnswer(const std::shared_ptr<Front>& f,
                                          const std::string& body) {
+  if (!f->vocab_set.load(std::memory_order_acquire) ||
+      !f->answers_set.load(std::memory_order_acquire))
+    return {503, ErrorBody("starting up: vocab not loaded yet; retry")};
+
   std::map<std::string, JsonValue> obj;
   std::string err;
   if (!ParseJsonObject(body, &obj, &err))
@@ -670,15 +684,19 @@ std::pair<int, std::string> HandleAnswer(const std::shared_ptr<Front>& f,
   int top_k = 5;
   const auto k_it = obj.find("top_k");
   if (k_it != obj.end()) {
+    // Range-check the DOUBLE before converting: double->int of an
+    // out-of-range value (1e300, inf; nan fails the >= test) is UB.
+    const double kn = k_it->second.num;
     if (k_it->second.kind != JsonValue::NUM)
       return {400, ErrorBody("bad request: 'top_k' must be a number")};
-    top_k = int(k_it->second.num);
+    if (!(kn >= 1.0))
+      return {400, ErrorBody("bad request: 'top_k' must be >= 1")};
+    if (kn > double(f->topk_cap))
+      return {400, ErrorBody("bad request: 'top_k' exceeds the native "
+                             "front's cap (" + std::to_string(f->topk_cap) +
+                             "); raise --topk-cap or use the Python front")};
+    top_k = int(kn);
   }
-  if (top_k < 1) return {400, ErrorBody("bad request: 'top_k' must be >= 1")};
-  if (top_k > f->topk_cap)
-    return {400, ErrorBody("bad request: 'top_k' exceeds the native front's "
-                           "cap (" + std::to_string(f->topk_cap) +
-                           "); raise --topk-cap or use the Python front")};
 
   const auto img_it = obj.find("image_b64");
   if (img_it == obj.end() || img_it->second.kind != JsonValue::STR)
@@ -797,7 +815,13 @@ void AcceptLoop(std::shared_ptr<Front> f) {
     if (fd < 0) {
       if (f->stopping.load()) break;
       if (errno == EINTR) continue;
-      break;  // listener closed
+      if (errno == EBADF || errno == EINVAL) break;  // listener closed
+      // Transient (ECONNABORTED, EMFILE/ENFILE fd exhaustion, EAGAIN,
+      // ENOMEM): the ONE accept thread must survive these or the server
+      // silently stops accepting forever. Back off briefly — EMFILE
+      // clears when connection threads close their fds.
+      std::this_thread::sleep_for(std::chrono::milliseconds(10));
+      continue;
     }
     if (f->open_conns.fetch_add(1) >= f->max_conns) {
       // Immediate shed instead of an accept backlog that can only time
@@ -847,7 +871,18 @@ int vqa_front_start(const char* host, int port, int image_size,
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
   addr.sin_port = htons(uint16_t(port));
-  if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) return 2;
+  if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+    // Not a dotted quad — resolve hostnames ("localhost") like the
+    // Python front's ThreadingHTTPServer does (IPv4 only here).
+    addrinfo hints{};
+    hints.ai_family = AF_INET;
+    hints.ai_socktype = SOCK_STREAM;
+    addrinfo* res = nullptr;
+    if (::getaddrinfo(host, nullptr, &hints, &res) != 0 || res == nullptr)
+      return 2;
+    addr.sin_addr = reinterpret_cast<sockaddr_in*>(res->ai_addr)->sin_addr;
+    ::freeaddrinfo(res);
+  }
   if (::bind(f->listen_fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) !=
       0)
     return 3;
@@ -876,6 +911,9 @@ long long vqa_front_generation() {
 int vqa_front_set_question_vocab(const char* blob, const int32_t* ids, int n) {
   const auto f = GetFront();
   if (!f) return 1;
+  // Write-once: connection threads read the map lock-free after
+  // observing vocab_set, so a re-upload on a live front would race.
+  if (f->vocab_set.load()) return 3;
   f->question_vocab.clear();
   f->question_vocab.reserve(size_t(n) * 2);
   const char* p = blob;
@@ -885,12 +923,14 @@ int vqa_front_set_question_vocab(const char* blob, const int32_t* ids, int n) {
     f->question_vocab.emplace(std::string(p, nl), ids[i]);
     p = nl + 1;
   }
+  f->vocab_set.store(true, std::memory_order_release);
   return 0;
 }
 
 int vqa_front_set_answers(const char* blob, int n) {
   const auto f = GetFront();
   if (!f) return 1;
+  if (f->answers_set.load()) return 3;  // write-once (see vocab)
   f->answers.clear();
   f->answers.reserve(size_t(n));
   const char* p = blob;
@@ -900,6 +940,7 @@ int vqa_front_set_answers(const char* blob, int n) {
     f->answers.emplace_back(p, nl);
     p = nl + 1;
   }
+  f->answers_set.store(true, std::memory_order_release);
   return 0;
 }
 

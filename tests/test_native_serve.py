@@ -190,6 +190,10 @@ def test_bad_requests(stack):
     assert _post(base, "/v1/answer",
                  {"question": "hi?", "image_b64": image_b64,
                   "top_k": 999})[0] == 400
+    # top_k far outside int range: must 400, not hit UB double->int
+    assert _post(base, "/v1/answer",
+                 {"question": "hi?", "image_b64": image_b64,
+                  "top_k": 1e300})[0] == 400
     # unknown routes
     assert _post(base, "/v1/other", {"question": "hi?"})[0] == 404
     try:
@@ -256,6 +260,33 @@ def test_metrics_names_match_python_front(stack):
     assert m == service.metrics()
 
 
+def test_decompression_bomb_rejected(stack):
+    """A tiny JPEG whose SOF header declares 65535x65535 (a ~13 GB
+    decode) must be refused at the header (400), never allocated —
+    parity with PIL's DecompressionBombError on the Python front."""
+    base, _, _, _, jpeg = stack
+    with open(jpeg, "rb") as fd:
+        data = bytearray(fd.read())
+    # Patch the SOF0 frame header: FF C0 <len:2> <precision:1> <h:2> <w:2>.
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0, "fixture JPEG has no baseline SOF0 marker"
+    data[sof + 5:sof + 9] = b"\xff\xff\xff\xff"
+    status, payload = _post(base, "/v1/answer", {
+        "image_b64": base64.b64encode(bytes(data)).decode(),
+        "question": "what is this?",
+    })
+    assert status == 400
+    assert "decode failed" in payload["error"]
+
+
+def test_vocab_is_write_once(stack):
+    """Connection threads read the vocab lock-free, so the C++ side must
+    refuse a re-upload on a live front instead of racing them."""
+    service = stack[2]
+    with pytest.raises(RuntimeError, match="set_question_vocab"):
+        service._upload_vocab()
+
+
 def test_dispatch_error_maps_to_500(stack):
     """A dispatch-side failure must 500 every request of the batch and
     count it in `errors` (serve.BatchingService parity)."""
@@ -316,3 +347,49 @@ def test_backpressure_and_timeout(stack, tmp_path):
         assert m["timeouts"] == 2 and m["rejected"] == 4, m
     finally:
         svc.stop()
+
+
+def test_init_failure_stops_the_listener(stack, monkeypatch):
+    """If __init__ fails AFTER the C++ listener started (e.g. the jit
+    build raises), the front must be stopped on the way out — otherwise
+    the orphan holds the process slot and every retry fails with start
+    code 5. Runs after the shared front is stopped (previous test)."""
+    from dl_vqa_tpu.utils.native_front import NativeFrontService
+
+    predictor = stack[3]
+    monkeypatch.setattr(
+        NativeFrontService, "_build_forward",
+        lambda self: (_ for _ in ()).throw(RuntimeError("jit build boom")),
+    )
+    with pytest.raises(RuntimeError, match="jit build boom"):
+        NativeFrontService(predictor, port=0)
+    monkeypatch.undo()
+
+    # The failed constructor must not have orphaned a live front.
+    svc = NativeFrontService(predictor, port=0)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{svc.port}/healthz", timeout=30
+        ) as resp:
+            assert resp.status == 200
+    finally:
+        svc.stop()
+
+
+def test_hostname_resolution(stack):
+    """--host localhost must work like it does on the Python front
+    (getaddrinfo fallback), and a bad host must name the real problem."""
+    from dl_vqa_tpu.utils.native_front import NativeFrontService
+
+    predictor = stack[3]
+    svc = NativeFrontService(predictor, host="localhost", port=0)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{svc.port}/healthz", timeout=30
+        ) as resp:
+            assert resp.status == 200
+    finally:
+        svc.stop()
+
+    with pytest.raises(RuntimeError, match="cannot resolve host"):
+        NativeFrontService(predictor, host="no.such.host.invalid", port=0)
