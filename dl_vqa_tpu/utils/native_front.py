@@ -240,7 +240,16 @@ class NativeFrontService:
             )
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             top_p, top_i = jax.lax.top_k(probs, k)
-            return top_p, top_i.astype(jnp.int32)
+            # ONE output array: probs in [:, :k], indices BITCAST to f32
+            # in [:, k:] (exact — they're small ints). Two outputs would
+            # cost two device->host fetches per batch, and on a
+            # relay-backed runtime each fetch is a ~30 ms round trip
+            # (docs/PERF_NOTES.md gotchas) — measurable at low
+            # concurrency where the fetch dominates the batch.
+            idx_bits = jax.lax.bitcast_convert_type(
+                top_i.astype(jnp.int32), jnp.float32
+            )
+            return jnp.concatenate([top_p, idx_bits], axis=1)
 
         return jax.jit(fwd)
 
@@ -266,11 +275,13 @@ class NativeFrontService:
         images[:n] = self._images[:n]
         questions[:n] = self._questions[:n]
         lengths[:n] = self._lengths[:n]
-        top_p, top_i = self._fwd(
+        packed = np.asarray(self._fwd(
             self.predictor.params, images, questions, lengths
-        )
-        return (np.ascontiguousarray(np.asarray(top_p)[:n]),
-                np.ascontiguousarray(np.asarray(top_i)[:n]))
+        ))  # [size, 2k] f32: one fetch (see _build_forward)
+        k = self.topk_cap
+        top_p = np.ascontiguousarray(packed[:n, :k])
+        top_i = np.ascontiguousarray(packed[:n, k:]).view(np.int32)
+        return top_p, top_i
 
     def _dispatch_loop(self):
         out_n = ctypes.c_int32(0)
