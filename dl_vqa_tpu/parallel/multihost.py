@@ -39,7 +39,7 @@ virtual devices each run the full Batcher -> prefetch -> fused-train-step
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np
@@ -49,6 +49,7 @@ __all__ = [
     "initialize",
     "active",
     "is_coordinator",
+    "barrier",
     "process_batch_slice",
 ]
 
@@ -70,15 +71,15 @@ def initialize(
     Must run before the first backend query (``jax.devices()`` etc.) or
     the process will have initialized a single-process backend already.
     """
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError as e:  # already initialized: keep going
-        if "already" not in str(e).lower():
-            raise
+    # jax's own re-init errors vary by version ("should only be called
+    # once", "must be called before any JAX calls") — ask, don't parse.
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def maybe_initialize(log=None) -> bool:
@@ -95,12 +96,23 @@ def maybe_initialize(log=None) -> bool:
     if not coord:
         return jax.process_count() > 1  # e.g. initialized by the caller
     if coord == "auto":
-        initialize()
+        # jax.distributed.initialize(coordinator_address=None) falls back
+        # to the JAX_COORDINATOR_ADDRESS env var, so the literal "auto"
+        # must not be visible while the cluster plugins auto-detect.
+        del os.environ[_ENV_COORD]
+        try:
+            initialize()
+        finally:
+            os.environ[_ENV_COORD] = coord
     else:
+        # Partial manual config is legal: managed platforms can supply
+        # only the address and let jax auto-detect the process layout.
+        nproc = os.environ.get(_ENV_NPROC)
+        pid = os.environ.get(_ENV_PID)
         initialize(
             coordinator_address=coord,
-            num_processes=int(os.environ[_ENV_NPROC]),
-            process_id=int(os.environ[_ENV_PID]),
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
         )
     if log is not None:
         log(
@@ -167,13 +179,3 @@ def process_batch_slice(sharding, global_batch_size: int) -> Optional[slice]:
             "the process-ordered device list"
         )
     return slice(lo, hi)
-
-
-def assemble_global(batch: Dict[str, np.ndarray], sharding) -> Dict:
-    """Assemble per-process local rows into global arrays under
-    ``sharding`` (one sharding for every leaf, as the train pipeline
-    uses). Host-side numpy in, global ``jax.Array`` out."""
-    return {
-        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
-        for k, v in batch.items()
-    }

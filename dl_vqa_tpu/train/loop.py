@@ -189,9 +189,13 @@ def train(
         {"max_question_length": int(max_q_len)} if max_q_len else None
     )
     # Multi-host: every process computes the same (fully replicated)
-    # metrics, but only the coordinator writes checkpoints — the npz
-    # backend gathers to host numpy, which needs addressable leaves.
-    save_model = train_params.save_model and jax.process_index() == 0
+    # metrics, but only the coordinator writes checkpoints. Model/stage-
+    # sharded leaves span processes, so gathering them to host numpy is a
+    # COLLECTIVE — non-coordinators must mirror each save with
+    # ckpt.host_snapshot(state) (identical pytree walk) or the
+    # coordinator's gather deadlocks.
+    save_model = train_params.save_model
+    is_coordinator = jax.process_index() == 0
 
     for epoch in range(start_epoch, train_params.num_epochs):
         # Profile the second epoch: the first is dominated by compilation.
@@ -273,8 +277,13 @@ def train(
             epochs_no_improve = 0
             best_eval_score = eval_score
             if save_model:
-                logger.save_model(state, epoch, model_cfg,
-                                  extra_meta=ckpt_meta)
+                if is_coordinator:
+                    logger.save_model(state, epoch, model_cfg,
+                                      extra_meta=ckpt_meta)
+                else:
+                    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+                    ckpt.host_snapshot(state)  # join the gather collective
         else:
             epochs_no_improve += 1
 
@@ -285,21 +294,24 @@ def train(
             from dl_vqa_tpu.utils import checkpoint as ckpt
             import os
 
-            last_name = (
-                "last.ckpt"
-                if getattr(logger, "checkpoint_backend", "npz") == "npz"
-                else "last.ckpt.orbax"
-            )
-            # Resume progress rides the metadata so a restart continues
-            # the run instead of re-warm-starting it (best score, early-
-            # stop counter, epoch budget).
-            resume_meta = dict(ckpt_meta or {})
-            resume_meta["best_eval_score"] = float(best_eval_score)
-            resume_meta["epochs_no_improve"] = int(epochs_no_improve)
-            ckpt.save_checkpoint_async(
-                os.path.join(logger.exp_dir, last_name), state,
-                epoch=epoch, model_cfg=model_cfg, extra_meta=resume_meta,
-            )
+            if is_coordinator:
+                last_name = (
+                    "last.ckpt"
+                    if getattr(logger, "checkpoint_backend", "npz") == "npz"
+                    else "last.ckpt.orbax"
+                )
+                # Resume progress rides the metadata so a restart continues
+                # the run instead of re-warm-starting it (best score, early-
+                # stop counter, epoch budget).
+                resume_meta = dict(ckpt_meta or {})
+                resume_meta["best_eval_score"] = float(best_eval_score)
+                resume_meta["epochs_no_improve"] = int(epochs_no_improve)
+                ckpt.save_checkpoint_async(
+                    os.path.join(logger.exp_dir, last_name), state,
+                    epoch=epoch, model_cfg=model_cfg, extra_meta=resume_meta,
+                )
+            else:
+                ckpt.host_snapshot(state)  # join the gather collective
 
         metrics = get_metrics(best_eval_score, eval_score, train_loss)
         if epoch > 3 and epochs_no_improve == train_params.n_epochs_stop:

@@ -30,9 +30,38 @@ import numpy as np
 
 __all__ = ["save_checkpoint", "save_checkpoint_async", "load_checkpoint",
            "load_params", "restore_state", "restore_state_meta",
-           "wait_for_async_saves"]
+           "wait_for_async_saves", "host_snapshot"]
 
 _SEP = "|"
+
+
+def _leaf_to_host(leaf) -> np.ndarray:
+    """Fetch one leaf to host numpy, multi-process-safe.
+
+    In a multihost run a model/stage-sharded leaf spans devices this
+    process cannot address, and ``np.asarray`` on it raises. Such leaves
+    are gathered with ``process_allgather`` — a COLLECTIVE, so in
+    multihost runs every process must walk the same tree (see
+    ``host_snapshot``; the train loop has non-coordinators mirror the
+    coordinator's saves with it)."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable \
+            and not leaf.is_fully_replicated:
+        from jax.experimental import multihost_utils
+
+        # tiled=True is REQUIRED for global non-fully-addressable inputs;
+        # for them it returns the fully-replicated global value.
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
+def host_snapshot(state):
+    """Gather a state/params tree to host numpy on every process.
+
+    Coordinator-gated save paths call this from NON-coordinator
+    processes so they participate in the sharded-leaf gather collectives
+    of the coordinator's ``save_checkpoint`` (identical leaf order:
+    both walk the same pytree)."""
+    return jax.tree_util.tree_map(_leaf_to_host, state)
 
 
 def _flatten(tree: Any):
@@ -40,7 +69,7 @@ def _flatten(tree: Any):
     flat = {}
     for path, leaf in leaves_with_paths:
         key = _SEP.join(_path_str(p) for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[key] = _leaf_to_host(leaf)
     return flat
 
 
@@ -117,7 +146,7 @@ def save_checkpoint_async(path: str, state, epoch: Optional[int] = None,
     if _pending_save is not None:
         _pending_save.result()  # surface any previous write error
 
-    snapshot = jax.tree_util.tree_map(np.asarray, state)
+    snapshot = host_snapshot(state)
     _pending_save = _async_executor.submit(
         save_checkpoint, path, snapshot, epoch, model_cfg, extra_meta
     )

@@ -24,6 +24,14 @@ def main() -> None:
     ap.add_argument("--local-devices", type=int, default=8)
     ap.add_argument("--global-batch", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--model-axis", type=int, default=1,
+                    help="tensor-parallel mesh axis (params sharded over "
+                         "'model'; exercises the non-addressable-leaf "
+                         "checkpoint gather in multi-process runs)")
+    ap.add_argument("--save-ckpt", default="",
+                    help="after training, save a coordinator-gated "
+                         "checkpoint here (non-coordinators mirror with "
+                         "host_snapshot) and report its content sums")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -102,7 +110,7 @@ def main() -> None:
         def load_images_nhwc(self, idx):
             return self._images[idx]
 
-    mesh = make_mesh(data=-1, model=1)  # all GLOBAL devices
+    mesh = make_mesh(data=-1, model=args.model_axis)  # all GLOBAL devices
     bsh = batch_sharding(mesh)
     gb = args.global_batch
     proc_slice = multihost.process_batch_slice(bsh, gb)
@@ -117,6 +125,13 @@ def main() -> None:
     params = vqa.init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(1e-3)
     state = create_train_state(params, tx)
+    if args.model_axis > 1:
+        from dl_vqa_tpu.parallel import param_shardings, state_shardings
+
+        state = jax.device_put(
+            state, state_shardings(state, param_shardings(params, mesh),
+                                   mesh)
+        )
     train_step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
     eval_step = make_eval_step(cfg, compute_dtype=jnp.float32)
     rng = jax.random.PRNGKey(7)
@@ -129,6 +144,37 @@ def main() -> None:
             scores.append(float(m["score"]))
     eval_score, eval_loss = evaluate(eval_step, state.params, eval_batcher,
                                      bsh)
+
+    ckpt_sums = None
+    if args.save_ckpt:
+        # The regression under test: with model-sharded (non-addressable)
+        # leaves, the coordinator-gated save must gather collectively —
+        # non-coordinators mirror it with host_snapshot — and the file
+        # must round-trip the FULL global values.
+        from dl_vqa_tpu.utils import checkpoint as ckpt
+
+        if multihost.is_coordinator():
+            ckpt.save_checkpoint(args.save_ckpt, state, epoch=0)
+        else:
+            ckpt.host_snapshot(state)
+        multihost.barrier("ckpt-written")
+        flat, _meta = ckpt.load_checkpoint(args.save_ckpt)
+        live = ckpt.host_snapshot(state)
+        ckpt_sums = {
+            "saved_sum": float(sum(
+                np.asarray(v, dtype=np.float64).sum() for v in flat.values()
+            )),
+            "live_sum": float(sum(
+                np.asarray(leaf, dtype=np.float64).sum()
+                for leaf in jax.tree_util.tree_leaves(live)
+            )),
+            "saved_numel": int(sum(v.size for v in flat.values())),
+            "live_numel": int(sum(
+                np.asarray(leaf).size
+                for leaf in jax.tree_util.tree_leaves(live)
+            )),
+        }
+
     print(json.dumps({
         "pid": jax.process_index(),
         "procs": jax.process_count(),
@@ -137,6 +183,7 @@ def main() -> None:
         "scores": scores,
         "eval_score": eval_score,
         "eval_loss": eval_loss,
+        "ckpt": ckpt_sums,
     }))
     sys.stdout.flush()
 

@@ -125,7 +125,7 @@ def test_answer_decoding(artifact):
     assert art.answers(imgs, qs, lens) == expected
 
 
-def test_loads_without_model_code(artifact):
+def test_loads_without_model_code(artifact, tmp_path):
     """The whole point: a consumer process runs the artifact with jax +
     the loader module only — no dl_vqa_tpu.models / ops / config import
     ever happens."""
@@ -155,7 +155,9 @@ np.save(sys.argv[2], logits)
     env = dict(os.environ)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)
-    out_file = os.path.join(path, "subproc_logits.npy")
+    # Own tmp dir, NOT the module-scoped artifact dir: test_layout
+    # asserts that dir's exact file list, so order must not matter.
+    out_file = str(tmp_path / "subproc_logits.npy")
     proc = subprocess.run(
         [sys.executable, "-c", script, path, out_file],
         capture_output=True, text=True, timeout=300, env=env,

@@ -138,6 +138,85 @@ def test_batcher_process_slice_partitions_batches():
     assert full[-1]["mask"].sum() == 6
 
 
+def test_model_sharded_checkpoint_gathers_across_processes(tmp_path):
+    """Multihost + tensor parallel (mesh model=4 across 2 processes):
+    params are NOT fully addressable on any process, so the coordinator-
+    gated save must gather collectively (non-coordinators mirror with
+    ckpt.host_snapshot) and the npz must round-trip the full values —
+    previously this crashed on np.asarray at the first save."""
+    ckpt_path = str(tmp_path / "tp.ckpt")
+    port = _free_port()
+    env = _env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "--procs", "2", "--pid", str(pid),
+             "--port", str(port), "--local-devices", "4",
+             "--model-axis", "4", "--epochs", "1",
+             "--save-ckpt", ckpt_path],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    r0, r1 = outs
+    # Both ranks loaded the file the coordinator wrote; its contents
+    # equal the live (allgathered) state on every rank, full-size.
+    for r in (r0, r1):
+        assert r["ckpt"]["saved_numel"] == r["ckpt"]["live_numel"]
+        assert r["ckpt"]["saved_sum"] == pytest.approx(
+            r["ckpt"]["live_sum"], rel=1e-12
+        )
+    assert r0["ckpt"] == r1["ckpt"]
+
+
+def test_maybe_initialize_env_handling(monkeypatch):
+    """The 'auto' opt-in must not leak the literal string to jax (which
+    falls back to the env var), and partial manual config must pass None
+    through instead of KeyError-ing."""
+    from dl_vqa_tpu.parallel import multihost
+
+    calls = []
+
+    def fake_initialize(coordinator_address=None, num_processes=None,
+                        process_id=None):
+        # what jax would see, including its env-var fallback
+        calls.append(coordinator_address or
+                     os.environ.get("JAX_COORDINATOR_ADDRESS"))
+
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "auto")
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    multihost.maybe_initialize()
+    assert calls[-1] is None  # 'auto' never reached jax
+    assert os.environ["JAX_COORDINATOR_ADDRESS"] == "auto"  # restored
+
+    # Address-only manual config (managed platform fills in the rest).
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    multihost.maybe_initialize()
+    assert calls[-1] == "10.0.0.1:1234"
+
+    # Idempotency is asked, not parsed from error strings.
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    before = len(calls)
+    multihost.maybe_initialize()
+    assert len(calls) == before
+
+
 def test_process_batch_slice_single_process_is_none():
     import jax
 
