@@ -76,6 +76,13 @@ CFG_SCHEMA: Dict[str, Any] = {
             # 'compute' | 'f8e4m3' (8-bit activation storage) | 'int8'
             # (W8A8 MXU convs; eval-only, auto-calibrated) — cnn only
             "store_dtype": str,
+            # Mixture-of-Experts FFN (vit only): 0 = dense; > 0 makes
+            # every block's MLP a sparse expert FFN (ops/moe.py), expert
+            # weights sharded over tpu.mesh.expert.
+            "moe_experts": int,
+            "moe_top_k": int,            # experts per token (1 or 2)
+            "moe_capacity_factor": float,
+            "moe_aux_weight": float,     # load-balance loss weight
         },
         "attention": {
             # 'single' (reference parity), 'stacked' (SAN), 'co' (co-attention)
@@ -115,6 +122,7 @@ CFG_SCHEMA: Dict[str, Any] = {
             "data": int,             # -1 = all remaining devices
             "model": int,
             "stage": int,            # pipeline stages (>1 needs encoder=vit)
+            "expert": int,           # MoE expert parallelism (moe_experts>0)
         },
         # microbatches for the pipeline schedule; 0 = one per stage
         "pipeline_microbatches": int,

@@ -53,6 +53,14 @@ class ImageConfig:
     # dataclasses.replace at calibration time, not a YAML key — scales are
     # calibration artifacts of a trained checkpoint, not hyperparameters).
     quant_scales: Tuple[float, ...] = ()
+    # Mixture-of-Experts (vit only): 0 = dense MLP (default). When > 0,
+    # every block's MLP becomes a sparsely-activated expert FFN
+    # (ops/moe.py, GShard-style static dispatch) whose expert-major
+    # weights shard over the 'expert' mesh axis (tpu.mesh.expert).
+    moe_experts: int = 0
+    moe_top_k: int = 2                 # experts per token (1=Switch, 2=GShard)
+    moe_capacity_factor: float = 1.25  # per-expert slots = ceil(k*S*f/E)
+    moe_aux_weight: float = 0.01       # load-balance loss weight (train)
 
     @property
     def output_channels(self) -> int:
@@ -152,6 +160,10 @@ class ModelConfig:
                 num_layers=i.get("num_layers", 4),
                 num_heads=i.get("num_heads", 4),
                 store_dtype=i.get("store_dtype", "compute"),
+                moe_experts=i.get("moe_experts", 0),
+                moe_top_k=i.get("moe_top_k", 2),
+                moe_capacity_factor=i.get("moe_capacity_factor", 1.25),
+                moe_aux_weight=i.get("moe_aux_weight", 0.01),
             ),
             attention=AttentionConfig(
                 variant=a.get("variant", "single"),

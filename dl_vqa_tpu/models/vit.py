@@ -27,7 +27,7 @@ __all__ = ["init_vit_image", "apply_vit_image"]
 
 
 def init_vit_image(key, image_size: int, patch_size: int, model_dim: int,
-                   num_layers: int) -> Dict:
+                   num_layers: int, moe_experts: int = 0) -> Dict:
     """ViT image-encoder params. The block stack is STORED stacked (every
     leaf carries a leading ``[L, ...]`` layer axis) rather than as a list:
     the pipeline executor's ``shard_map`` consumes exactly that form with
@@ -37,7 +37,12 @@ def init_vit_image(key, image_size: int, patch_size: int, model_dim: int,
     the SPMD partitioner into involuntary full rematerialization of the
     concatenates (replicate-then-repartition every step). The sequential
     path statically indexes the stack (``tree_map(lambda l: l[i], ...)``),
-    which XLA folds away — identical math and fusion to a list."""
+    which XLA folds away — identical math and fusion to a list.
+
+    ``moe_experts > 0`` makes EVERY block's MLP a mixture-of-experts FFN
+    (ops/moe.py; same hidden width 4*D per expert) — every layer keeps
+    the same param structure, so the stacked storage and the sharding
+    rules apply unchanged (expert leaves become ``[L, E, ...]``)."""
     grid = image_size // patch_size
     keys = jax.random.split(key, 2 + 4 * num_layers)
     params: Dict = {
@@ -55,19 +60,28 @@ def init_vit_image(key, image_size: int, patch_size: int, model_dim: int,
     layers = []
     for layer in range(num_layers):
         k1, k2, k3, k4 = keys[2 + 4 * layer : 6 + 4 * layer]
-        layers.append(
-            {
-                "ln1": {"scale": jnp.ones(model_dim),
-                        "bias": jnp.zeros(model_dim)},
-                "qkv": init_lib.linear_params(k1, model_dim, 3 * model_dim),
-                "out": init_lib.linear_params(k2, model_dim, model_dim),
-                "ln2": {"scale": jnp.ones(model_dim),
-                        "bias": jnp.zeros(model_dim)},
-                "mlp_in": init_lib.linear_params(k3, model_dim, 4 * model_dim),
-                "mlp_out": init_lib.linear_params(k4, 4 * model_dim,
-                                                  model_dim),
-            }
-        )
+        block = {
+            "ln1": {"scale": jnp.ones(model_dim),
+                    "bias": jnp.zeros(model_dim)},
+            "qkv": init_lib.linear_params(k1, model_dim, 3 * model_dim),
+            "out": init_lib.linear_params(k2, model_dim, model_dim),
+            "ln2": {"scale": jnp.ones(model_dim),
+                    "bias": jnp.zeros(model_dim)},
+        }
+        if moe_experts > 0:
+            from dl_vqa_tpu.ops.moe import init_moe_mlp
+
+            block["moe"] = init_moe_mlp(
+                k3, model_dim, 4 * model_dim, moe_experts
+            )
+        else:
+            block["mlp_in"] = init_lib.linear_params(
+                k3, model_dim, 4 * model_dim
+            )
+            block["mlp_out"] = init_lib.linear_params(
+                k4, 4 * model_dim, model_dim
+            )
+        layers.append(block)
     from dl_vqa_tpu.parallel.pipeline import stack_layers
 
     params["layers"] = stack_layers(layers)
@@ -191,7 +205,8 @@ def _patch_embed_matmul(x, embed: Dict, patch_size: int, dtype) -> jnp.ndarray:
 def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
                     dtype=jnp.float32, use_pallas: bool = False,
                     dropout: float = 0.0, train: bool = False,
-                    rngs=(None, None), fused_bwd: bool = False) -> jnp.ndarray:
+                    rngs=(None, None), fused_bwd: bool = False,
+                    moe=None, aux_sink=None) -> jnp.ndarray:
     """One pre-LN transformer block (attention + MLP with residuals).
 
     Shared by the sequential stack in :func:`apply_vit_image` and the
@@ -199,7 +214,12 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
     pipeline_apply`) — identical math in both schedules. ``rngs`` are the
     two residual-dropout keys (attention site, MLP site);
     ``fused_bwd`` selects the Pallas flash backward for the attention
-    kernel (training path)."""
+    kernel (training path).
+
+    When the layer carries a ``"moe"`` param group (``image.moe_experts
+    > 0``), the MLP runs as a mixture-of-experts FFN (ops/moe.py);
+    ``moe = (top_k, capacity_factor)`` supplies the routing knobs and
+    ``aux_sink`` collects the per-layer load-balance loss."""
     from dl_vqa_tpu.models.vqa import _dropout
 
     hld = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
@@ -208,16 +228,23 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
                      fused_bwd=fused_bwd).astype(dtype)
     x = x + _dropout(att, dropout, train, rngs[0])
     hld = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
-    hld = jax.nn.relu(
-        jnp.dot(hld, layer["mlp_in"]["w"].astype(dtype),
-                preferred_element_type=jnp.float32)
-        + layer["mlp_in"]["b"]
-    ).astype(dtype)
-    mlp = (
-        jnp.dot(hld, layer["mlp_out"]["w"].astype(dtype),
-                preferred_element_type=jnp.float32)
-        + layer["mlp_out"]["b"]
-    ).astype(dtype)
+    if "moe" in layer:
+        from dl_vqa_tpu.ops.moe import moe_mlp
+
+        top_k, capacity_factor = moe if moe is not None else (2, 1.25)
+        mlp = moe_mlp(hld, layer["moe"], top_k, capacity_factor, dtype,
+                      aux_sink=aux_sink).astype(dtype)
+    else:
+        hld = jax.nn.relu(
+            jnp.dot(hld, layer["mlp_in"]["w"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+            + layer["mlp_in"]["b"]
+        ).astype(dtype)
+        mlp = (
+            jnp.dot(hld, layer["mlp_out"]["w"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+            + layer["mlp_out"]["b"]
+        ).astype(dtype)
     return x + _dropout(mlp, dropout, train, rngs[1])
 
 
@@ -276,7 +303,8 @@ def _pipelined_blocks(layers, x, num_heads, dtype, use_pallas, dropout,
 def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                     num_heads: int, dropout: float, train: bool, rng,
                     dtype=jnp.float32, use_pallas: bool = False,
-                    pipeline_ctx=None) -> jnp.ndarray:
+                    pipeline_ctx=None, moe=None,
+                    aux_sink=None) -> jnp.ndarray:
     """images [B, H, W, 3] -> feature grid [B, g, g, D].
 
     ``pipeline_ctx`` routes the block stack through the GPipe executor
@@ -315,6 +343,13 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
     fused = train and TRAIN_ATTENTION_KERNEL
     kernel_ok = use_pallas and (not train or fused)
     if pipeline_ctx is not None:
+        if "moe" in params["layers"]:
+            raise NotImplementedError(
+                "image.moe_experts > 0 does not compose with "
+                "tpu.mesh.stage > 1 yet: the GPipe executor's shard_map "
+                "cannot carry the expert axis or the aux-loss side "
+                "channel. Use a dp x expert x model mesh instead."
+            )
         x = _pipelined_blocks(params["layers"], x, num_heads, dtype,
                               kernel_ok, dropout, train, rng, pipeline_ctx,
                               fused_bwd=fused)
@@ -332,6 +367,7 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                 rngs=(_site_rng(rng, 21 + 2 * idx),
                       _site_rng(rng, 22 + 2 * idx)),
                 fused_bwd=fused,
+                moe=moe, aux_sink=aux_sink,
             )
 
     x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])

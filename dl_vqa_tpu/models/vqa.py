@@ -128,7 +128,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
 
         params["image"] = init_vit_image(
             keys[3], cfg.image_size, i.patch_size, i.output_channels,
-            i.num_layers,
+            i.num_layers, moe_experts=i.moe_experts,
         )
     else:
         raise NotImplementedError(f"image encoder {i.encoder!r}")
@@ -179,7 +179,7 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
 
 def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
                   train: bool, rng, dtype,
-                  pipeline_ctx=None) -> jnp.ndarray:
+                  pipeline_ctx=None, aux_sink=None) -> jnp.ndarray:
     """Image feature grid [B, g, g, C] (NHWC).
 
     'cnn': conv->relu->maxpool blocks + trailing dropout (ref
@@ -196,10 +196,15 @@ def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
             )
         from dl_vqa_tpu.models.vit import apply_vit_image
 
+        moe = (
+            (cfg.image.moe_top_k, cfg.image.moe_capacity_factor)
+            if cfg.image.moe_experts > 0 else None
+        )
         return apply_vit_image(
             params["image"], images, cfg.image.patch_size,
             cfg.image.num_heads, cfg.image.dropout, train, rng, dtype,
             use_pallas=cfg.use_pallas, pipeline_ctx=pipeline_ctx,
+            moe=moe, aux_sink=aux_sink,
         )
     if pipeline_ctx is not None:
         raise ValueError(
@@ -405,6 +410,7 @@ def apply(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     pipeline_ctx=None,
+    aux_sink: Optional[list] = None,
 ) -> jnp.ndarray:
     """Forward pass -> answer logits [B, max_answers] (fp32).
 
@@ -414,6 +420,12 @@ def apply(
     ``pipeline_ctx`` (a :class:`dl_vqa_tpu.parallel.pipeline.
     PipelineContext`) runs the ViT block stack pipeline-parallel over
     the mesh's 'stage' axis (``tpu.mesh.stage``).
+
+    ``aux_sink``: an optional caller-owned list that MoE layers append
+    their scalar load-balance losses to (a within-trace side channel —
+    the values are traced scalars and must be consumed inside the same
+    jit trace; see ``train/steps._forward_loss``). Plain dense configs
+    never touch it.
     """
     if train and rng is None:
         raise ValueError("train=True requires a dropout rng")
@@ -430,7 +442,7 @@ def apply(
         ) / jnp.asarray(IMAGENET_STD, dtype=compute_dtype)
 
     v = image_encoder(params, cfg, images, train, rng, compute_dtype,
-                      pipeline_ctx=pipeline_ctx)
+                      pipeline_ctx=pipeline_ctx, aux_sink=aux_sink)
     v = v.astype(jnp.float32)
     v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
 

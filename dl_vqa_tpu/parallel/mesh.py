@@ -32,30 +32,44 @@ def make_mesh(
     data: int = -1,
     model: int = 1,
     stage: int = 1,
+    expert: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data', 'model'[, 'stage']) mesh. ``data=-1`` uses all
-    devices left after the model/stage axes. The 'stage' axis (pipeline
-    parallelism, ``tpu.mesh.stage``) is only materialized when > 1 so
-    existing two-axis meshes stay unchanged."""
+    """Build a ('data'[, 'expert'], 'model'[, 'stage']) mesh. ``data=-1``
+    uses all devices left after the other axes. The 'stage' axis
+    (pipeline parallelism, ``tpu.mesh.stage``) and the 'expert' axis
+    (MoE expert parallelism, ``tpu.mesh.expert``) are only materialized
+    when > 1 so existing two-axis meshes stay unchanged. 'expert' sits
+    next to 'data' in the device grid: the MoE all-to-all re-slices the
+    data shards, so adjacency keeps it on near-neighbor ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     if model < 1:
         model = 1
     if stage < 1:
         stage = 1
+    if expert < 1:
+        expert = 1
     if data == -1:
-        data = len(devices) // (model * stage)
-    n = data * model * stage
+        data = len(devices) // (model * stage * expert)
+    n = data * model * stage * expert
     if data < 1 or n > len(devices):
         raise ValueError(
-            f"mesh {max(data, 0)}x{model}x{stage} needs "
-            f"{max(n, model * stage)} devices, have {len(devices)}"
+            f"mesh {max(data, 0)}x{expert}x{model}x{stage} "
+            f"(data x expert x model x stage) needs "
+            f"{max(n, expert * model * stage)} devices, have {len(devices)}"
         )
+    shape = [data]
+    names = ["data"]
+    if expert > 1:
+        shape.append(expert)
+        names.append("expert")
+    shape.append(model)
+    names.append("model")
     if stage > 1:
-        grid = np.asarray(devices[:n]).reshape(data, model, stage)
-        return Mesh(grid, axis_names=("data", "model", "stage"))
-    grid = np.asarray(devices[:n]).reshape(data, model)
-    return Mesh(grid, axis_names=("data", "model"))
+        shape.append(stage)
+        names.append("stage")
+    grid = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(grid, axis_names=tuple(names))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -110,6 +124,18 @@ def _spec_for(path: str, leaf) -> P:
         return P("model")
     if path.endswith("/out/w") or path.endswith("/mlp_out/w"):
         return P("model", None)       # row-parallel (psum on output)
+    # MoE expert FFN (ops/moe.py): expert-major leaves split their
+    # leading E over 'expert'; the per-expert hidden F additionally
+    # splits over 'model' (megatron within each expert). The router
+    # gate is tiny and replicates (default P()).
+    if path.endswith("/moe/in/w"):
+        return P("expert", None, "model")
+    if path.endswith("/moe/in/b"):
+        return P("expert", "model")
+    if path.endswith("/moe/out/w"):
+        return P("expert", "model", None)
+    if path.endswith("/moe/out/b"):
+        return P("expert", None)
     return P()
 
 
@@ -149,6 +175,10 @@ def param_shardings(params: Dict, mesh: Mesh):
             # involuntary-rematerialization warnings).
             lead = "stage" if "stage" in mesh.axis_names else None
             spec = P(lead, *spec)
+        # Drop axes the mesh does not materialize (e.g. 'expert' on a
+        # plain dp x tp mesh): that dim simply replicates.
+        spec = P(*(a if a is None or a in mesh.axis_names else None
+                   for a in spec))
         if not _divisible(tree, spec, mesh):
             if int(np.prod(tree.shape)) >= _WARN_FALLBACK_ELEMENTS:
                 fallbacks.append((prefix, tuple(tree.shape), spec))

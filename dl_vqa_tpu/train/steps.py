@@ -68,16 +68,23 @@ def _forward_loss(
     images = batch.get("images")
     if images is None:
         images = batch["image_table"][batch["image_rows"]]
+    moe_sink = [] if cfg.image.moe_experts > 0 else None
     logits = vqa.apply(
         params, cfg,
         images, batch["questions"], batch["lengths"],
         train=train, rng=rng, compute_dtype=compute_dtype,
-        pipeline_ctx=pipeline_ctx,
+        pipeline_ctx=pipeline_ctx, aux_sink=moe_sink,
     )
     mask = batch.get("mask")
     loss = soft_cross_entropy(
         logits, batch["answer_indices"], batch["answer_values"], mask
     )
+    if train and moe_sink:
+        # MoE load-balance loss, mean over layers so the weight is
+        # depth-independent; train-only — the eval loss stays the task
+        # loss (comparable across dense/MoE configs).
+        aux = sum(moe_sink) / len(moe_sink)
+        loss = loss + cfg.image.moe_aux_weight * aux
     score = vqa_accuracy_sum(
         logits, batch["answer_indices"], batch["answer_values"], mask
     )

@@ -146,7 +146,8 @@ def evaluate_hw2(overrides=()) -> float:
 
     mesh_cfg = cfg["tpu"]["mesh"]
     stage = mesh_cfg.get("stage", 1)
-    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage)
+    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage,
+                     expert=mesh_cfg.get("expert", 1))
     pipeline_ctx = None
     if stage > 1:
         from dl_vqa_tpu.parallel.pipeline import PipelineContext

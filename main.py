@@ -146,7 +146,14 @@ def main(cfg: dict) -> float:
     # Mesh + sharding (single chip degenerates to no-op sharding).
     mesh_cfg = cfg["tpu"]["mesh"]
     stage = mesh_cfg.get("stage", 1)
-    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage)
+    expert = mesh_cfg.get("expert", 1)
+    if expert > 1 and cfg["train"]["image"].get("moe_experts", 0) < 1:
+        raise SystemExit(
+            "tpu.mesh.expert > 1 needs train.image.moe_experts > 0 "
+            "(there are no expert-major parameters to shard)"
+        )
+    mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage,
+                     expert=expert)
     b_sharding = make_batch_sharding(mesh)
     pipeline_ctx = None
     if stage > 1:
@@ -155,11 +162,13 @@ def main(cfg: dict) -> float:
         micro = cfg["tpu"].get("pipeline_microbatches", 0) or stage
         pipeline_ctx = PipelineContext(mesh, num_microbatches=micro)
     state_sharding = None
-    # Param placement is needed for BOTH tp (model > 1) and pp (stage >
-    # 1): a pure-pipeline mesh still needs the ViT layer stack placed on
-    # its 'stage' axis, or the shard_map in_specs re-shard the replicated
-    # stack inside every step (involuntary rematerialization).
-    if mesh.shape["model"] > 1 or stage > 1:
+    # Param placement is needed for tp (model > 1), pp (stage > 1) AND
+    # ep (expert > 1): a pure-pipeline mesh still needs the ViT layer
+    # stack placed on its 'stage' axis, or the shard_map in_specs
+    # re-shard the replicated stack inside every step (involuntary
+    # rematerialization); an ep mesh needs the expert-major MoE weights
+    # on their 'expert' shards.
+    if mesh.shape["model"] > 1 or stage > 1 or expert > 1:
         from dl_vqa_tpu.parallel import param_shardings, state_shardings
         from dl_vqa_tpu.train.steps import make_optimizer
         from dl_vqa_tpu.train.state import create_train_state

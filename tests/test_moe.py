@@ -1,0 +1,319 @@
+"""Mixture-of-Experts FFN (ops/moe.py) + expert parallelism
+('expert' mesh axis) — new capability beyond the reference
+(SURVEY.md §2 'Parallelism strategies': the reference has none)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dl_vqa_tpu.models import ModelConfig, vqa
+from dl_vqa_tpu.models.configs import (
+    AttentionConfig,
+    ClassifierConfig,
+    ImageConfig,
+    TextConfig,
+)
+from dl_vqa_tpu.ops.moe import init_moe_mlp, moe_capacity, moe_mlp, top_k_gating
+from dl_vqa_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+from dl_vqa_tpu.train.state import create_train_state
+from dl_vqa_tpu.train.steps import make_eval_step, make_optimizer, make_train_step
+
+
+def _moe_cfg(experts=4, top_k=2, capacity_factor=1.25):
+    return ModelConfig(
+        text=TextConfig(question_features=16, embedding_features=8,
+                        dropout=0.0),
+        image=ImageConfig(
+            encoder="vit", num_channels=(3, 16), patch_size=8,
+            num_layers=2, num_heads=2, dropout=0.0,
+            moe_experts=experts, moe_top_k=top_k,
+            moe_capacity_factor=capacity_factor,
+        ),
+        attention=AttentionConfig(hidden_dim=16, glimpses=2, dropout=0.0),
+        classifier=ClassifierConfig(hidden_dim=16, dropout=0.0),
+        max_answers=16,
+        image_size=32,
+        num_tokens=32,
+    )
+
+
+def _batch(cfg, batch=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "images": rng.standard_normal(
+            (batch, cfg.image_size, cfg.image_size, 3)
+        ).astype(np.float32),
+        "questions": rng.integers(0, cfg.num_tokens, (batch, 6)).astype(
+            np.int32
+        ),
+        "lengths": rng.integers(1, 7, (batch,)).astype(np.int32),
+        "answer_indices": rng.integers(1, 17, (batch, 2)).astype(np.int32),
+        "answer_values": rng.integers(1, 10, (batch, 2)).astype(np.int32),
+        "mask": np.ones((batch,), dtype=bool),
+    }
+
+
+# ---------------------------------------------------------------- gating
+
+
+def test_balance_loss_is_one_at_uniform():
+    """Switch aux loss: E * sum_e f_e * P_e == 1.0 when the router is
+    perfectly uniform (all logits equal)."""
+    logits = jnp.zeros((2, 12, 4))
+    _, _, aux = top_k_gating(logits, top_k=1, capacity=12)
+    assert float(aux) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_gating_rejects_bad_top_k():
+    logits = jnp.zeros((1, 4, 4))
+    with pytest.raises(ValueError):
+        top_k_gating(logits, top_k=0, capacity=4)
+    with pytest.raises(ValueError):
+        top_k_gating(logits, top_k=5, capacity=4)
+
+
+def test_gating_capacity_drops_overflow_tokens():
+    """All tokens prefer expert 0 with capacity 2: exactly 2 tokens are
+    dispatched there (slot positions 0 and 1), later tokens drop (their
+    combine rows are zero for that expert), and with top_k=1 dropped
+    tokens have an all-zero combine row."""
+    S = 6
+    logits = jnp.tile(
+        jnp.asarray([10.0, 0.0, 0.0, 0.0]), (1, S, 1)
+    )
+    dispatch, combine, _ = top_k_gating(logits, top_k=1, capacity=2)
+    # expert 0 received exactly its capacity
+    assert float(dispatch[0, :, 0, :].sum()) == 2.0
+    # the first two tokens hold slots 0 and 1
+    assert float(dispatch[0, 0, 0, 0]) == 1.0
+    assert float(dispatch[0, 1, 0, 1]) == 1.0
+    # overflow tokens are fully dropped
+    np.testing.assert_array_equal(
+        np.asarray(dispatch[0, 2:]).sum(axis=(1, 2)), np.zeros(S - 2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(combine[0, 2:]).sum(axis=(1, 2)), np.zeros(S - 2)
+    )
+
+
+def test_gating_combine_weights_renormalize():
+    """Kept slots' combine weights sum to 1 per token (top-2 renorm)."""
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((2, 8, 4)), jnp.float32)
+    _, combine, _ = top_k_gating(logits, top_k=2, capacity=8)
+    sums = np.asarray(combine.sum(axis=(2, 3)))
+    np.testing.assert_allclose(sums, np.ones_like(sums), atol=1e-6)
+
+
+# ---------------------------------------------------------------- moe_mlp
+
+
+def _dense_mlp(x, w1, b1, w2, b2):
+    h = jax.nn.relu(x @ w1 + b1)
+    return h @ w2 + b2
+
+
+def test_identical_experts_match_dense_mlp():
+    """With every expert holding the same weights and ample capacity, the
+    renormalized top-k combine is a convex combination of identical
+    outputs — MoE == dense MLP exactly (f32)."""
+    D, F, E, S = 8, 16, 4, 10
+    rng = np.random.default_rng(0)
+    w1 = jnp.asarray(rng.standard_normal((D, F)), jnp.float32) * 0.3
+    b1 = jnp.asarray(rng.standard_normal(F), jnp.float32) * 0.1
+    w2 = jnp.asarray(rng.standard_normal((F, D)), jnp.float32) * 0.3
+    b2 = jnp.asarray(rng.standard_normal(D), jnp.float32) * 0.1
+    params = {
+        "gate": {"w": jnp.asarray(rng.standard_normal((D, E)),
+                                  jnp.float32)},
+        "in": {"w": jnp.tile(w1, (E, 1, 1)), "b": jnp.tile(b1, (E, 1))},
+        "out": {"w": jnp.tile(w2, (E, 1, 1)), "b": jnp.tile(b2, (E, 1))},
+    }
+    x = jnp.asarray(rng.standard_normal((3, S, D)), jnp.float32)
+    # capacity_factor = E guarantees capacity >= S: nothing can drop.
+    out = moe_mlp(x, params, top_k=2, capacity_factor=float(E),
+                  dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_dense_mlp(x, w1, b1, w2, b2)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_moe_groups_are_independent():
+    """Routing/capacity is per group: a stacked batch equals the per-group
+    results (batch-size invariance)."""
+    D, E, S = 8, 4, 12
+    params = init_moe_mlp(jax.random.PRNGKey(0), D, 16, E)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, S, D)), jnp.float32)
+    full = moe_mlp(x, params, 2, 1.0, jnp.float32)
+    for g in range(4):
+        single = moe_mlp(x[g : g + 1], params, 2, 1.0, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(full[g]), np.asarray(single[0]), atol=1e-6
+        )
+
+
+def test_aux_sink_receives_per_layer_losses():
+    D, E = 8, 4
+    params = init_moe_mlp(jax.random.PRNGKey(0), D, 16, E)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 6, D)),
+                    jnp.float32)
+    sink = []
+    moe_mlp(x, params, 1, 2.0, jnp.float32, aux_sink=sink)
+    assert len(sink) == 1 and np.isfinite(float(sink[0]))
+    # at least the expected lower bound (aux >= 1 only at uniform; any
+    # router gives a positive finite value)
+    assert float(sink[0]) > 0.0
+
+
+def test_moe_capacity_formula():
+    assert moe_capacity(196, 8, 2, 1.25) == 62
+    assert moe_capacity(4, 8, 1, 1.0) == 1  # floors at 1
+
+
+# ---------------------------------------------------------------- model
+
+
+def test_vit_moe_model_forward_and_grads():
+    cfg = _moe_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    stacked = params["image"]["layers"]
+    assert "moe" in stacked and "mlp_in" not in stacked
+    # stacked leading layer axis + expert axis
+    assert stacked["moe"]["in"]["w"].shape == (2, 4, 16, 64)
+
+    batch = _batch(cfg, batch=4)
+    logits = vqa.apply(
+        params, cfg, batch["images"], batch["questions"], batch["lengths"],
+        train=False, compute_dtype=jnp.float32,
+    )
+    assert logits.shape == (4, cfg.max_answers)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # Train step: loss finite, router gets gradient (through the combine
+    # probabilities + the balance loss). Snapshot the gate first — the
+    # step donates its state, deleting the original buffers.
+    gate_before = np.asarray(params["image"]["layers"]["moe"]["gate"]["w"])
+    tx = make_optimizer(1e-3)
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    state2, metrics = step(state, jax.device_put(batch),
+                           jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    gate_after = np.asarray(
+        state2.params["image"]["layers"]["moe"]["gate"]["w"]
+    )
+    assert not np.array_equal(gate_before, gate_after)
+
+
+def test_vit_moe_config_meta_roundtrip():
+    cfg = _moe_cfg(experts=8, top_k=1, capacity_factor=2.0)
+    back = ModelConfig.from_meta_dict(dataclasses.asdict(cfg))
+    assert back.image.moe_experts == 8
+    assert back.image.moe_top_k == 1
+    assert back.image.moe_capacity_factor == 2.0
+
+
+def test_moe_rejects_pipeline():
+    from dl_vqa_tpu.parallel.pipeline import PipelineContext
+
+    cfg = _moe_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(data=2, model=1, stage=2)
+    ctx = PipelineContext(mesh, num_microbatches=2)
+    batch = _batch(cfg, batch=4)
+    with pytest.raises(NotImplementedError, match="moe_experts"):
+        vqa.apply(
+            params, cfg, batch["images"], batch["questions"],
+            batch["lengths"], train=False, compute_dtype=jnp.float32,
+            pipeline_ctx=ctx,
+        )
+
+
+# ---------------------------------------------------------------- ep mesh
+
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_expert_axis():
+    mesh = make_mesh(data=2, model=2, expert=2)
+    assert mesh.shape == {"data": 2, "expert": 2, "model": 2}
+    # expert=1 leaves the classic two-axis mesh untouched
+    assert make_mesh(data=4, model=2).shape == {"data": 4, "model": 2}
+
+
+def test_expert_parallel_eval_matches_single_device():
+    """dp x ep x tp (2x2x2) mesh: expert-sharded MoE eval must equal the
+    unsharded run (the all-to-all pair is exact)."""
+    cfg = _moe_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, seed=3)
+
+    eval_step = make_eval_step(cfg, compute_dtype=jnp.float32)
+    l_ref, s_ref = eval_step(params, jax.device_put(batch))
+
+    mesh = make_mesh(data=2, model=2, expert=2)
+    psh = param_shardings(params, mesh)
+    spec = psh["image"]["layers"]["moe"]["in"]["w"].spec
+    assert spec == P(None, "expert", None, "model")
+    params_ep = jax.device_put(params, psh)
+    sharded = {k: jax.device_put(v, batch_sharding(mesh))
+               for k, v in batch.items()}
+    l_ep, s_ep = eval_step(params_ep, sharded)
+
+    assert float(l_ref) == pytest.approx(float(l_ep), rel=1e-5)
+    assert float(s_ref) == pytest.approx(float(s_ep), rel=1e-5)
+
+    # the expert shards really are shards: per-device bytes = total / 4
+    # ('expert' x 'model' both split the leaf; 'data' replicates it)
+    leaf = params_ep["image"]["layers"]["moe"]["in"]["w"]
+    shard = leaf.addressable_shards[0].data
+    assert shard.size * 4 == leaf.size
+
+
+def test_expert_parallel_train_step_matches_single_device():
+    cfg = _moe_cfg()
+    params = jax.tree_util.tree_map(
+        np.asarray, vqa.init(jax.random.PRNGKey(0), cfg)
+    )
+    tx = make_optimizer(1e-3)
+    batch = _batch(cfg, seed=4)
+    rng = jax.random.PRNGKey(9)
+
+    state1 = create_train_state(params, tx)
+    step1 = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    state1, m1 = step1(state1, jax.device_put(batch), rng)
+
+    mesh = make_mesh(data=2, model=1, expert=4)
+    psh = param_shardings(params, mesh)
+    from dl_vqa_tpu.parallel import state_shardings
+
+    state8 = create_train_state(params, tx)
+    state8 = jax.device_put(state8, state_shardings(state8, psh, mesh))
+    step8 = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    sharded = {k: jax.device_put(v, batch_sharding(mesh))
+               for k, v in batch.items()}
+    state8, m8 = step8(state8, sharded, rng)
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state8.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
