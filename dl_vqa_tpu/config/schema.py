@@ -123,6 +123,7 @@ CFG_SCHEMA: Dict[str, Any] = {
             "model": int,
             "stage": int,            # pipeline stages (>1 needs encoder=vit)
             "expert": int,           # MoE expert parallelism (moe_experts>0)
+            "seq": int,              # ring-attention sequence parallelism
         },
         # microbatches for the pipeline schedule; 0 = one per stage
         "pipeline_microbatches": int,

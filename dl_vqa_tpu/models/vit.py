@@ -99,7 +99,7 @@ TRAIN_ATTENTION_KERNEL = True
 
 
 def _attention(x, layer, num_heads, dtype, use_pallas=False,
-               fused_bwd=False):
+               fused_bwd=False, seq_ctx=None):
     """Self-attention with the weights tensor kept in the compute dtype.
 
     At 196 patch tokens x batch 512 the [B, H, S, S] weights are the
@@ -119,6 +119,22 @@ def _attention(x, layer, num_heads, dtype, use_pallas=False,
     head = dim // num_heads
     qkv = jnp.dot(x, layer["qkv"]["w"].astype(dtype),
                   preferred_element_type=jnp.float32) + layer["qkv"]["b"]
+    if seq_ctx is not None:
+        # Sequence parallelism (tpu.mesh.seq): tokens are sharded over
+        # the 'seq' axis and the attention runs as a ppermute ring with
+        # online softmax (ops/ring_attention.py) — takes precedence over
+        # the single-device Pallas kernel, which needs the full S.
+        from dl_vqa_tpu.ops.ring_attention import ring_attention_qkv
+
+        out = ring_attention_qkv(
+            qkv.astype(dtype), num_heads, seq_ctx.mesh,
+            seq_axis=seq_ctx.seq_axis, data_axis=seq_ctx.data_axis,
+        )
+        return (
+            jnp.dot(out, layer["out"]["w"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+            + layer["out"]["b"]
+        )
     if use_pallas and jax.default_backend() == "tpu" and head % 64 == 0:
         from dl_vqa_tpu.ops.vit_attention_pallas import (
             vit_attention_qkv_pallas,
@@ -206,7 +222,7 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
                     dtype=jnp.float32, use_pallas: bool = False,
                     dropout: float = 0.0, train: bool = False,
                     rngs=(None, None), fused_bwd: bool = False,
-                    moe=None, aux_sink=None) -> jnp.ndarray:
+                    moe=None, aux_sink=None, seq_ctx=None) -> jnp.ndarray:
     """One pre-LN transformer block (attention + MLP with residuals).
 
     Shared by the sequential stack in :func:`apply_vit_image` and the
@@ -225,7 +241,7 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
     hld = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
     att = _attention(hld, layer, num_heads, dtype,
                      use_pallas=use_pallas,
-                     fused_bwd=fused_bwd).astype(dtype)
+                     fused_bwd=fused_bwd, seq_ctx=seq_ctx).astype(dtype)
     x = x + _dropout(att, dropout, train, rngs[0])
     hld = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
     if "moe" in layer:
@@ -304,7 +320,7 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                     num_heads: int, dropout: float, train: bool, rng,
                     dtype=jnp.float32, use_pallas: bool = False,
                     pipeline_ctx=None, moe=None,
-                    aux_sink=None) -> jnp.ndarray:
+                    aux_sink=None, seq_ctx=None) -> jnp.ndarray:
     """images [B, H, W, 3] -> feature grid [B, g, g, D].
 
     ``pipeline_ctx`` routes the block stack through the GPipe executor
@@ -342,6 +358,28 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
     #   the flash backward keeps the whole recompute in VMEM.
     fused = train and TRAIN_ATTENTION_KERNEL
     kernel_ok = use_pallas and (not train or fused)
+    if seq_ctx is not None:
+        if pipeline_ctx is not None:
+            raise NotImplementedError(
+                "tpu.mesh.seq > 1 does not compose with tpu.mesh.stage "
+                "> 1: the GPipe executor's shard_map cannot nest the "
+                "ring-attention shard_map"
+            )
+        n_seq = seq_ctx.mesh.shape[seq_ctx.seq_axis]
+        if x.shape[1] % n_seq != 0:
+            raise ValueError(
+                f"{x.shape[1]} patch tokens do not shard over the "
+                f"{n_seq}-way '{seq_ctx.seq_axis}' axis; choose "
+                f"image_size/patch_size so the grid divides it"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        # Establish the token sharding once; LN/MLP/projections are
+        # token-local and keep it under GSPMD, attention rides the ring.
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(seq_ctx.mesh,
+                             _P(seq_ctx.data_axis, seq_ctx.seq_axis, None))
+        )
     if pipeline_ctx is not None:
         if "moe" in params["layers"]:
             raise NotImplementedError(
@@ -367,7 +405,7 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                 rngs=(_site_rng(rng, 21 + 2 * idx),
                       _site_rng(rng, 22 + 2 * idx)),
                 fused_bwd=fused,
-                moe=moe, aux_sink=aux_sink,
+                moe=moe, aux_sink=aux_sink, seq_ctx=seq_ctx,
             )
 
     x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])

@@ -179,7 +179,8 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
 
 def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
                   train: bool, rng, dtype,
-                  pipeline_ctx=None, aux_sink=None) -> jnp.ndarray:
+                  pipeline_ctx=None, aux_sink=None,
+                  seq_ctx=None) -> jnp.ndarray:
     """Image feature grid [B, g, g, C] (NHWC).
 
     'cnn': conv->relu->maxpool blocks + trailing dropout (ref
@@ -204,13 +205,19 @@ def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
             params["image"], images, cfg.image.patch_size,
             cfg.image.num_heads, cfg.image.dropout, train, rng, dtype,
             use_pallas=cfg.use_pallas, pipeline_ctx=pipeline_ctx,
-            moe=moe, aux_sink=aux_sink,
+            moe=moe, aux_sink=aux_sink, seq_ctx=seq_ctx,
         )
     if pipeline_ctx is not None:
         raise ValueError(
             "tpu.mesh.stage > 1 (pipeline parallelism) requires "
             "train.image.encoder=vit — the cnn stack has no repeated "
             "layer structure to stage"
+        )
+    if seq_ctx is not None:
+        raise ValueError(
+            "tpu.mesh.seq > 1 (sequence parallelism) requires "
+            "train.image.encoder=vit — the cnn stack has no token "
+            "dimension to shard"
         )
 
     from dl_vqa_tpu.ops.conv_fused import conv_relu_pool
@@ -411,6 +418,7 @@ def apply(
     compute_dtype=jnp.float32,
     pipeline_ctx=None,
     aux_sink: Optional[list] = None,
+    seq_ctx=None,
 ) -> jnp.ndarray:
     """Forward pass -> answer logits [B, max_answers] (fp32).
 
@@ -419,7 +427,10 @@ def apply(
 
     ``pipeline_ctx`` (a :class:`dl_vqa_tpu.parallel.pipeline.
     PipelineContext`) runs the ViT block stack pipeline-parallel over
-    the mesh's 'stage' axis (``tpu.mesh.stage``).
+    the mesh's 'stage' axis (``tpu.mesh.stage``). ``seq_ctx`` (a
+    :class:`dl_vqa_tpu.parallel.sequence.SequenceContext`) shards the
+    ViT token dimension over the 'seq' axis with ring attention
+    (``tpu.mesh.seq``; mutually exclusive with ``pipeline_ctx``).
 
     ``aux_sink``: an optional caller-owned list that MoE layers append
     their scalar load-balance losses to (a within-trace side channel —
@@ -442,7 +453,8 @@ def apply(
         ) / jnp.asarray(IMAGENET_STD, dtype=compute_dtype)
 
     v = image_encoder(params, cfg, images, train, rng, compute_dtype,
-                      pipeline_ctx=pipeline_ctx, aux_sink=aux_sink)
+                      pipeline_ctx=pipeline_ctx, aux_sink=aux_sink,
+                      seq_ctx=seq_ctx)
     v = v.astype(jnp.float32)
     v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
 

@@ -9,6 +9,7 @@ from dl_vqa_tpu.parallel.mesh import (
     replicated,
     state_shardings,
 )
+from dl_vqa_tpu.parallel.sequence import SequenceContext
 
 __all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated",
-           "state_shardings", "multihost"]
+           "state_shardings", "multihost", "SequenceContext"]

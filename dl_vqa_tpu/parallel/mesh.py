@@ -33,33 +33,38 @@ def make_mesh(
     model: int = 1,
     stage: int = 1,
     expert: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data'[, 'expert'], 'model'[, 'stage']) mesh. ``data=-1``
-    uses all devices left after the other axes. The 'stage' axis
-    (pipeline parallelism, ``tpu.mesh.stage``) and the 'expert' axis
-    (MoE expert parallelism, ``tpu.mesh.expert``) are only materialized
-    when > 1 so existing two-axis meshes stay unchanged. 'expert' sits
-    next to 'data' in the device grid: the MoE all-to-all re-slices the
-    data shards, so adjacency keeps it on near-neighbor ICI links."""
+    """Build a ('data'[, 'seq'][, 'expert'], 'model'[, 'stage']) mesh.
+    ``data=-1`` uses all devices left after the other axes. The 'stage'
+    axis (pipeline parallelism, ``tpu.mesh.stage``), the 'expert' axis
+    (MoE expert parallelism, ``tpu.mesh.expert``) and the 'seq' axis
+    (ring-attention sequence parallelism, ``tpu.mesh.seq``) are only
+    materialized when > 1 so existing two-axis meshes stay unchanged.
+    'seq' and 'expert' sit next to 'data' in the device grid: their
+    collectives (the ppermute ring, the MoE all-to-all) re-slice the
+    data shards, so adjacency keeps them on near-neighbor ICI links."""
     devices = list(devices if devices is not None else jax.devices())
-    if model < 1:
-        model = 1
-    if stage < 1:
-        stage = 1
-    if expert < 1:
-        expert = 1
+    model = max(model, 1)
+    stage = max(stage, 1)
+    expert = max(expert, 1)
+    seq = max(seq, 1)
     if data == -1:
-        data = len(devices) // (model * stage * expert)
-    n = data * model * stage * expert
+        data = len(devices) // (model * stage * expert * seq)
+    n = data * model * stage * expert * seq
     if data < 1 or n > len(devices):
         raise ValueError(
-            f"mesh {max(data, 0)}x{expert}x{model}x{stage} "
-            f"(data x expert x model x stage) needs "
-            f"{max(n, expert * model * stage)} devices, have {len(devices)}"
+            f"mesh {max(data, 0)}x{seq}x{expert}x{model}x{stage} "
+            f"(data x seq x expert x model x stage) needs "
+            f"{max(n, seq * expert * model * stage)} devices, "
+            f"have {len(devices)}"
         )
     shape = [data]
     names = ["data"]
+    if seq > 1:
+        shape.append(seq)
+        names.append("seq")
     if expert > 1:
         shape.append(expert)
         names.append("expert")

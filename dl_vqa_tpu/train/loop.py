@@ -134,6 +134,7 @@ def train(
     remat: bool = False,
     accum_steps: int = 1,
     pipeline_ctx=None,
+    seq_ctx=None,
     train_image_table=None,
     eval_image_table=None,
 ) -> Dict[str, float]:
@@ -176,9 +177,9 @@ def train(
 
     train_step = make_train_step(model_cfg, tx, compute_dtype, remat=remat,
                                  accum_steps=accum_steps,
-                                 pipeline_ctx=pipeline_ctx)
+                                 pipeline_ctx=pipeline_ctx, seq_ctx=seq_ctx)
     eval_step = make_eval_step(model_cfg, compute_dtype,
-                               pipeline_ctx=pipeline_ctx)
+                               pipeline_ctx=pipeline_ctx, seq_ctx=seq_ctx)
     rng = jax.random.PRNGKey(seed)
 
     metrics: Dict[str, float] = {}

@@ -56,6 +56,7 @@ def _forward_loss(
     rng: Optional[jax.Array],
     compute_dtype,
     pipeline_ctx=None,
+    seq_ctx=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (loss, score_sum, logits) — the single forward used by both
     the train and eval steps.
@@ -73,7 +74,7 @@ def _forward_loss(
         params, cfg,
         images, batch["questions"], batch["lengths"],
         train=train, rng=rng, compute_dtype=compute_dtype,
-        pipeline_ctx=pipeline_ctx, aux_sink=moe_sink,
+        pipeline_ctx=pipeline_ctx, aux_sink=moe_sink, seq_ctx=seq_ctx,
     )
     mask = batch.get("mask")
     loss = soft_cross_entropy(
@@ -101,6 +102,7 @@ def make_train_step(
     jit: bool = True,
     accum_steps: int = 1,
     pipeline_ctx=None,
+    seq_ctx=None,
 ):
     """Build the jitted fused train step.
 
@@ -126,7 +128,8 @@ def make_train_step(
         def grads_of(params, mb, mb_rng):
             def loss_fn(p):
                 loss, score, _ = _forward_loss(
-                    p, cfg, mb, True, mb_rng, compute_dtype, pipeline_ctx
+                    p, cfg, mb, True, mb_rng, compute_dtype, pipeline_ctx,
+                    seq_ctx,
                 )
                 return loss, score
 
@@ -215,6 +218,7 @@ def make_eval_step(
     in_shardings=None,
     with_breakdown: bool = False,
     pipeline_ctx=None,
+    seq_ctx=None,
 ):
     """Build the jitted eval step: ``eval_step(params, batch) -> (loss,
     score_sum)`` — only scalars leave the device per batch.
@@ -224,7 +228,8 @@ def make_eval_step(
 
     def step_fn(params: Dict, batch: Dict):
         loss, score, logits = _forward_loss(
-            params, cfg, batch, False, None, compute_dtype, pipeline_ctx
+            params, cfg, batch, False, None, compute_dtype, pipeline_ctx,
+            seq_ctx,
         )
         if with_breakdown:
             sums, counts = vqa_accuracy_by_type(

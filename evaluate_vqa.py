@@ -147,16 +147,22 @@ def evaluate_hw2(overrides=()) -> float:
     mesh_cfg = cfg["tpu"]["mesh"]
     stage = mesh_cfg.get("stage", 1)
     mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage,
-                     expert=mesh_cfg.get("expert", 1))
+                     expert=mesh_cfg.get("expert", 1),
+                     seq=mesh_cfg.get("seq", 1))
     pipeline_ctx = None
     if stage > 1:
         from dl_vqa_tpu.parallel.pipeline import PipelineContext
 
         micro = cfg["tpu"].get("pipeline_microbatches", 0) or stage
         pipeline_ctx = PipelineContext(mesh, num_microbatches=micro)
+    seq_ctx = None
+    if mesh_cfg.get("seq", 1) > 1:
+        from dl_vqa_tpu.parallel import SequenceContext
+
+        seq_ctx = SequenceContext(mesh)
 
     eval_step = make_eval_step(model_cfg, compute_dtype, with_breakdown=True,
-                               pipeline_ctx=pipeline_ctx)
+                               pipeline_ctx=pipeline_ctx, seq_ctx=seq_ctx)
     if online_images:
         from dl_vqa_tpu.data.online import JpegLoader, OnlineBatcher
 

@@ -147,13 +147,19 @@ def main(cfg: dict) -> float:
     mesh_cfg = cfg["tpu"]["mesh"]
     stage = mesh_cfg.get("stage", 1)
     expert = mesh_cfg.get("expert", 1)
+    seq = mesh_cfg.get("seq", 1)
     if expert > 1 and cfg["train"]["image"].get("moe_experts", 0) < 1:
         raise SystemExit(
             "tpu.mesh.expert > 1 needs train.image.moe_experts > 0 "
             "(there are no expert-major parameters to shard)"
         )
+    if seq > 1 and cfg["train"]["image"]["encoder"] != "vit":
+        raise SystemExit(
+            "tpu.mesh.seq > 1 needs train.image.encoder=vit "
+            "(the cnn stack has no token dimension to shard)"
+        )
     mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage,
-                     expert=expert)
+                     expert=expert, seq=seq)
     b_sharding = make_batch_sharding(mesh)
     pipeline_ctx = None
     if stage > 1:
@@ -161,6 +167,11 @@ def main(cfg: dict) -> float:
 
         micro = cfg["tpu"].get("pipeline_microbatches", 0) or stage
         pipeline_ctx = PipelineContext(mesh, num_microbatches=micro)
+    seq_ctx = None
+    if seq > 1:
+        from dl_vqa_tpu.parallel import SequenceContext
+
+        seq_ctx = SequenceContext(mesh)
     state_sharding = None
     # Param placement is needed for tp (model > 1), pp (stage > 1) AND
     # ep (expert > 1): a pure-pipeline mesh still needs the ViT layer
@@ -277,6 +288,7 @@ def main(cfg: dict) -> float:
         remat=cfg["tpu"]["remat"],
         accum_steps=cfg["tpu"].get("grad_accum_steps", 1),
         pipeline_ctx=pipeline_ctx,
+        seq_ctx=seq_ctx,
         train_image_table=train_image_table,
         eval_image_table=eval_image_table,
     )
