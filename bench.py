@@ -34,7 +34,8 @@ POOL = 4          # distinct staged batches, cycled
 ITERS = 50        # eval steps per timed run
 
 
-def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False):
+def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False,
+          moe: bool = False):
     import dataclasses
 
     from dl_vqa_tpu.models import ModelConfig, vqa
@@ -46,6 +47,8 @@ def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False):
             "--int8-stem is a CNN-stem serving mode; the ViT family has "
             "no conv blocks to quantize (drop --vit or --int8-stem)"
         )
+    if moe and (f8_stem or int8_stem):
+        raise SystemExit("--moe is a ViT mode; drop the cnn-stem flags")
     cfg = ModelConfig(num_tokens=15_193)  # full reference-scale defaults
     if vit:
         cfg = dataclasses.replace(
@@ -54,6 +57,15 @@ def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False):
                 cfg.image, encoder="vit", patch_size=16, num_layers=4,
                 num_heads=4, num_channels=(3, 256),
             ),
+        )
+    if moe:
+        # `--moe` (implies --vit): every block's MLP is an 8-expert top-2
+        # MoE FFN (ops/moe.py) — the capability bench; on one chip all
+        # experts are local, so this measures the dispatch/combine
+        # einsum overhead against the dense MLP at equal model dim.
+        cfg = dataclasses.replace(
+            cfg,
+            image=dataclasses.replace(cfg.image, moe_experts=8, moe_top_k=2),
         )
     if f8_stem:
         # Opt-in inference mode (`--f8-stem`): 8-bit activation storage
@@ -143,7 +155,8 @@ def make_bench_fn(cfg, pool):
 TRAIN_ITERS = 20  # train steps per timed on-device loop
 
 
-def bench_train(vit: bool = False, f8_stem: bool = False) -> None:
+def bench_train(vit: bool = False, f8_stem: bool = False,
+                moe: bool = False) -> None:
     """Optional train-throughput mode (`python bench.py --train [--vit]`):
     TRAIN_ITERS fused fwd+bwd+Adam steps at batch 512 run as ONE jitted
     ``lax.fori_loop`` threading the train state (so dispatch RTT is
@@ -154,7 +167,7 @@ def bench_train(vit: bool = False, f8_stem: bool = False) -> None:
     from dl_vqa_tpu.train.steps import make_optimizer, make_train_step
 
     jax.config.update("jax_default_prng_impl", "rbg")  # main.py's default
-    cfg, params = build(vit=vit, f8_stem=f8_stem)
+    cfg, params = build(vit=vit, f8_stem=f8_stem, moe=moe)
     tx = make_optimizer(5e-4)
     state = create_train_state(params, tx)
     raw_step = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16, jit=False)
@@ -204,7 +217,8 @@ def bench_train(vit: bool = False, f8_stem: bool = False) -> None:
                 "value": round(samples_per_sec, 1),
                 "unit": "samples/s/chip (%s fused train step, batch %d x %d "
                 "steps, on-device loop)"
-                % ("ViT" if vit else "VQA", BATCH_SIZE, TRAIN_ITERS),
+                % ("ViT-MoE" if moe else ("ViT" if vit else "VQA"),
+                   BATCH_SIZE, TRAIN_ITERS),
                 "vs_baseline": None,
             }
         )
@@ -243,8 +257,9 @@ def bench_latency(batch_size: int = 8, vit: bool = False,
 
 
 def main(vit: bool = False, f8_stem: bool = False,
-         int8_stem: bool = False) -> None:
-    cfg, params = build(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem)
+         int8_stem: bool = False, moe: bool = False) -> None:
+    cfg, params = build(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem,
+                        moe=moe)
     n_chips = jax.device_count()
     batch_size = BATCH_SIZE * n_chips  # scale work with the mesh
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
@@ -276,7 +291,7 @@ def main(vit: bool = False, f8_stem: bool = False,
     elapsed = min(times)
 
     qa_per_sec_per_chip = batch_size * ITERS / elapsed / n_chips
-    model_tag = "ViT" if vit else "VQA"
+    model_tag = "ViT-MoE" if moe else ("ViT" if vit else "VQA")
     print(
         json.dumps(
             {
@@ -357,6 +372,15 @@ def bench_e2e(vit: bool = False) -> None:
                 num_heads=4, num_channels=(3, 256),
             ),
         )
+    if moe:
+        # `--moe` (implies --vit): every block's MLP is an 8-expert top-2
+        # MoE FFN (ops/moe.py) — the capability bench; on one chip all
+        # experts are local, so this measures the dispatch/combine
+        # einsum overhead against the dense MLP at equal model dim.
+        cfg = dataclasses.replace(
+            cfg,
+            image=dataclasses.replace(cfg.image, moe_experts=8, moe_top_k=2),
+        )
     params = vqa.init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(5e-4)
     state = create_train_state(params, tx)
@@ -398,6 +422,8 @@ if __name__ == "__main__":
     vit = "--vit" in sys.argv
     f8_stem = "--f8-stem" in sys.argv
     int8_stem = "--int8-stem" in sys.argv
+    moe = "--moe" in sys.argv
+    vit = vit or moe  # MoE is a ViT family variant
     if "--e2e" in sys.argv:
         bench_e2e(vit=vit)
     elif "--train" in sys.argv:
@@ -406,8 +432,8 @@ if __name__ == "__main__":
                 "--int8-stem is inference-only (static PTQ scales need "
                 "trained weights); use it with the eval/latency modes"
             )
-        bench_train(vit=vit, f8_stem=f8_stem)
+        bench_train(vit=vit, f8_stem=f8_stem, moe=moe)
     elif "--latency" in sys.argv:
         bench_latency(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem)
     else:
-        main(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem)
+        main(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem, moe=moe)

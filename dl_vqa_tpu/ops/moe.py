@@ -140,7 +140,14 @@ def top_k_gating(
         slots.append((slot_dispatch, gate))
         gate_sum = gate_sum + gate
         remaining = remaining * (1.0 - oh)
-    denom = jnp.maximum(gate_sum, jnp.finfo(jnp.float32).tiny)
+    # Renormalization epsilon: must be ADDED, not maximum(gate_sum, tiny).
+    # A token dropped from all its top-k experts has gate_sum == 0; with
+    # denom == float32 tiny the division's VJP computes -g/denom**2 and
+    # tiny**2 underflows to 0 -> 0/0 -> NaN in the backward (the forward
+    # is fine, which is why eval never sees it). 1e-9 keeps denom**2
+    # comfortably normal while being negligible against any real
+    # gate_sum (>= 1/E after softmax over the chosen expert).
+    denom = gate_sum + 1e-9
     combine = sum(
         d * (g / denom)[:, :, None, None] for d, g in slots
     )

@@ -177,6 +177,36 @@ def test_aux_sink_receives_per_layer_losses():
     assert float(sink[0]) > 0.0
 
 
+def test_fully_dropped_tokens_have_finite_gradients():
+    """Tokens dropped from ALL their top-k experts (gate_sum == 0) must
+    not NaN the backward: the renormalizer is gate_sum + eps, because a
+    maximum(gate_sum, tiny) denominator underflows in the division VJP
+    (-g/denom**2 with tiny**2 == 0 -> 0/0). Regression for the v5e
+    bf16 train blowup (all tokens route to expert 0, capacity 1: every
+    token but the first is fully dropped)."""
+    D, E, S = 8, 4, 6
+    params = init_moe_mlp(jax.random.PRNGKey(0), D, 16, E)
+    # Router forced to expert 0 for every token.
+    params["gate"]["w"] = jnp.zeros((D, E)).at[:, 0].set(5.0)
+    x = jnp.asarray(
+        np.abs(np.random.default_rng(5).standard_normal((1, S, D))) + 0.5,
+        jnp.float32,
+    )
+
+    def loss(p, xx):
+        # capacity_factor small enough that capacity == 1
+        return jnp.sum(moe_mlp(xx, p, 1, 0.5, jnp.float32) ** 2)
+
+    out = moe_mlp(x, params, 1, 0.5, jnp.float32)
+    # overflow tokens produce zero MoE output (ride the residual)
+    np.testing.assert_array_equal(
+        np.asarray(out[0, 1:]), np.zeros((S - 1, D))
+    )
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    for leaf in jax.tree_util.tree_leaves((gp, gx)):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_moe_capacity_formula():
     assert moe_capacity(196, 8, 2, 1.25) == 62
     assert moe_capacity(4, 8, 1, 1.0) == 1  # floors at 1
