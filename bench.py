@@ -226,11 +226,13 @@ def bench_train(vit: bool = False, f8_stem: bool = False,
 
 
 def bench_latency(batch_size: int = 8, vit: bool = False,
-                  f8_stem: bool = False, int8_stem: bool = False) -> None:
+                  f8_stem: bool = False, int8_stem: bool = False,
+                  moe: bool = False) -> None:
     """Optional serving-latency mode (`python bench.py --latency [--vit]`):
     per-query device latency at a small batch, measured with the
     on-device loop (amortizing dispatch RTT like a pipelined server)."""
-    cfg, params = build(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem)
+    cfg, params = build(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem,
+                        moe=moe)
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
     run, staged = make_bench_fn(cfg, pool)
     staged = jax.device_put(staged)
@@ -249,7 +251,8 @@ def bench_latency(batch_size: int = 8, vit: bool = False,
                 "metric": "eval_latency_ms_per_batch",
                 "value": round(ms_per_step, 2),
                 "unit": "ms per batch-%d %s eval step (pipelined)"
-                % (batch_size, "ViT" if vit else "VQA"),
+                % (batch_size,
+                   "ViT-MoE" if moe else ("ViT" if vit else "VQA")),
                 "vs_baseline": None,
             }
         )
@@ -307,7 +310,7 @@ def main(vit: bool = False, f8_stem: bool = False,
     )
 
 
-def bench_e2e(vit: bool = False) -> None:
+def bench_e2e(vit: bool = False, moe: bool = False) -> None:
     """End-to-end training-pipeline mode (`python bench.py --e2e [--vit]`):
     builds (once, cached under /tmp) an at-scale synthetic corpus — 20k
     train QA pairs over 1,500 distinct 224px images — then times a full
@@ -373,10 +376,8 @@ def bench_e2e(vit: bool = False) -> None:
             ),
         )
     if moe:
-        # `--moe` (implies --vit): every block's MLP is an 8-expert top-2
-        # MoE FFN (ops/moe.py) — the capability bench; on one chip all
-        # experts are local, so this measures the dispatch/combine
-        # einsum overhead against the dense MLP at equal model dim.
+        # Same 8-expert top-2 shape as build()'s --moe (kept in lockstep
+        # so --e2e --moe measures the configuration the step benches do).
         cfg = dataclasses.replace(
             cfg,
             image=dataclasses.replace(cfg.image, moe_experts=8, moe_top_k=2),
@@ -409,7 +410,8 @@ def bench_e2e(vit: bool = False) -> None:
                 "value": round(samples_per_sec, 1),
                 "unit": "samples/s end-to-end (%s, %d-sample epoch incl. "
                 "host pipeline, batch %d, device image cache)"
-                % ("ViT" if vit else "VQA", len(ds), BATCH_SIZE),
+                % ("ViT-MoE" if moe else ("ViT" if vit else "VQA"),
+                   len(ds), BATCH_SIZE),
                 "vs_baseline": None,
             }
         )
@@ -425,7 +427,7 @@ if __name__ == "__main__":
     moe = "--moe" in sys.argv
     vit = vit or moe  # MoE is a ViT family variant
     if "--e2e" in sys.argv:
-        bench_e2e(vit=vit)
+        bench_e2e(vit=vit, moe=moe)
     elif "--train" in sys.argv:
         if int8_stem:
             raise SystemExit(
@@ -434,6 +436,7 @@ if __name__ == "__main__":
             )
         bench_train(vit=vit, f8_stem=f8_stem, moe=moe)
     elif "--latency" in sys.argv:
-        bench_latency(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem)
+        bench_latency(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem,
+                      moe=moe)
     else:
         main(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem, moe=moe)

@@ -365,6 +365,13 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                 "> 1: the GPipe executor's shard_map cannot nest the "
                 "ring-attention shard_map"
             )
+        if seq_ctx.seq_axis not in seq_ctx.mesh.axis_names:
+            raise ValueError(
+                f"seq_ctx mesh {dict(seq_ctx.mesh.shape)} has no "
+                f"'{seq_ctx.seq_axis}' axis — build it with "
+                "make_mesh(..., seq=N) for N > 1 (the axis is only "
+                "materialized when > 1), or drop seq_ctx"
+            )
         n_seq = seq_ctx.mesh.shape[seq_ctx.seq_axis]
         if x.shape[1] % n_seq != 0:
             raise ValueError(

@@ -108,6 +108,14 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
 
     # Image encoder
     if i.encoder == "cnn":
+        if i.moe_experts > 0:
+            # MoE is a ViT-block feature; silently training a dense CNN
+            # under a config that says "MoE" would misreport capacity.
+            raise ValueError(
+                f"image.moe_experts={i.moe_experts} requires "
+                "image.encoder='vit' (the cnn stack has no MLP blocks "
+                "to sparsify)"
+            )
         # len(num_channels)-1 conv blocks (reference architecture).
         # The init key layout reserves keys[3..9] for conv blocks
         # (attention starts at keys[10]); deeper stacks would silently

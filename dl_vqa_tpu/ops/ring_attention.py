@@ -55,8 +55,8 @@ def ring_attention_block(q, k, v, axis_name: str, scale: float):
     perm = [(i, (i + 1) % n) for i in range(n)]
     shape = q.shape[:-1]  # [B, H, S_local]
 
-    def step(carry, _):
-        m, l, o, k_blk, v_blk = carry
+    def fold(m, l, o, k_blk, v_blk):
+        """Fold one visiting k/v block into the online softmax state."""
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k_blk,
             preferred_element_type=jnp.float32,
@@ -70,7 +70,11 @@ def ring_attention_block(q, k, v, axis_name: str, scale: float):
             "bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
             preferred_element_type=jnp.float32,
         )
-        m = m_new
+        return m_new, l, o
+
+    def step(carry, _):
+        m, l, o, k_blk, v_blk = carry
+        m, l, o = fold(m, l, o, k_blk, v_blk)
         k_blk = lax.ppermute(k_blk, axis_name, perm)
         v_blk = lax.ppermute(v_blk, axis_name, perm)
         return (m, l, o, k_blk, v_blk), None
@@ -81,7 +85,12 @@ def ring_attention_block(q, k, v, axis_name: str, scale: float):
         jnp.zeros(q.shape, jnp.float32),
         k, v,
     )
-    (m, l, o, _, _), _ = lax.scan(step, init, None, length=n)
+    # n-1 rotate-and-fold steps in the scan, then fold the last visiting
+    # block OUTSIDE it: a length-n scan would end with one more ppermute
+    # pair whose result is discarded — a wasted ICI hop per layer per
+    # step (and another in the transposed ring of the backward).
+    (m, l, o, k_last, v_last), _ = lax.scan(step, init, None, length=n - 1)
+    _, l, o = fold(m, l, o, k_last, v_last)
     return (o / l[..., None]).astype(q.dtype)
 
 

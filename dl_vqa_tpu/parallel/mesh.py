@@ -122,17 +122,14 @@ def _spec_for(path: str, leaf) -> P:
         return P(*([None] * (leaf.ndim - 1)), "model")
     if "attention/q_lin/b" in path:
         return P("model")
-    # Transformer / ViT blocks (text or image side).
-    if path.endswith("/qkv/w") or path.endswith("/mlp_in/w"):
-        return P(None, "model")       # column-parallel
-    if path.endswith("/qkv/b") or path.endswith("/mlp_in/b"):
-        return P("model")
-    if path.endswith("/out/w") or path.endswith("/mlp_out/w"):
-        return P("model", None)       # row-parallel (psum on output)
     # MoE expert FFN (ops/moe.py): expert-major leaves split their
     # leading E over 'expert'; the per-expert hidden F additionally
     # splits over 'model' (megatron within each expert). The router
-    # gate is tiny and replicates (default P()).
+    # gate is tiny and replicates (default P()). MUST precede the
+    # generic transformer rules: '/moe/out/w' would otherwise be
+    # captured by the endswith('/out/w') row-parallel rule and lose its
+    # expert-axis split (replicating every expert's out weights on
+    # every device).
     if path.endswith("/moe/in/w"):
         return P("expert", None, "model")
     if path.endswith("/moe/in/b"):
@@ -141,6 +138,13 @@ def _spec_for(path: str, leaf) -> P:
         return P("expert", "model", None)
     if path.endswith("/moe/out/b"):
         return P("expert", None)
+    # Transformer / ViT blocks (text or image side).
+    if path.endswith("/qkv/w") or path.endswith("/mlp_in/w"):
+        return P(None, "model")       # column-parallel
+    if path.endswith("/qkv/b") or path.endswith("/mlp_in/b"):
+        return P("model")
+    if path.endswith("/out/w") or path.endswith("/mlp_out/w"):
+        return P("model", None)       # row-parallel (psum on output)
     return P()
 
 

@@ -148,10 +148,14 @@ def main(cfg: dict) -> float:
     stage = mesh_cfg.get("stage", 1)
     expert = mesh_cfg.get("expert", 1)
     seq = mesh_cfg.get("seq", 1)
-    if expert > 1 and cfg["train"]["image"].get("moe_experts", 0) < 1:
+    if expert > 1 and (
+        cfg["train"]["image"].get("moe_experts", 0) < 1
+        or cfg["train"]["image"]["encoder"] != "vit"
+    ):
         raise SystemExit(
-            "tpu.mesh.expert > 1 needs train.image.moe_experts > 0 "
-            "(there are no expert-major parameters to shard)"
+            "tpu.mesh.expert > 1 needs train.image.encoder=vit with "
+            "train.image.moe_experts > 0 (there are no expert-major "
+            "parameters to shard otherwise)"
         )
     if seq > 1 and cfg["train"]["image"]["encoder"] != "vit":
         raise SystemExit(

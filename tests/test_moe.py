@@ -273,12 +273,16 @@ def test_moe_rejects_pipeline():
 
 # ---------------------------------------------------------------- ep mesh
 
-
-pytestmark = pytest.mark.skipif(
+# NB: a per-test marker, NOT a module-level pytestmark — assigning
+# pytestmark mid-file would retroactively skip every unit test above on
+# <8-device environments (e.g. a real single-chip TPU), including the
+# NaN regression test.
+needs_mesh = pytest.mark.skipif(
     jax.device_count() < 8, reason="needs 8 virtual devices"
 )
 
 
+@needs_mesh
 def test_mesh_expert_axis():
     mesh = make_mesh(data=2, model=2, expert=2)
     assert mesh.shape == {"data": 2, "expert": 2, "model": 2}
@@ -286,6 +290,7 @@ def test_mesh_expert_axis():
     assert make_mesh(data=4, model=2).shape == {"data": 4, "model": 2}
 
 
+@needs_mesh
 def test_expert_parallel_eval_matches_single_device():
     """dp x ep x tp (2x2x2) mesh: expert-sharded MoE eval must equal the
     unsharded run (the all-to-all pair is exact)."""
@@ -300,6 +305,10 @@ def test_expert_parallel_eval_matches_single_device():
     psh = param_shardings(params, mesh)
     spec = psh["image"]["layers"]["moe"]["in"]["w"].spec
     assert spec == P(None, "expert", None, "model")
+    # out/w must keep its expert split too — the generic row-parallel
+    # '/out/w' rule must not shadow the MoE rule (regression).
+    out_spec = psh["image"]["layers"]["moe"]["out"]["w"].spec
+    assert out_spec == P(None, "expert", "model", None)
     params_ep = jax.device_put(params, psh)
     sharded = {k: jax.device_put(v, batch_sharding(mesh))
                for k, v in batch.items()}
@@ -315,6 +324,7 @@ def test_expert_parallel_eval_matches_single_device():
     assert shard.size * 4 == leaf.size
 
 
+@needs_mesh
 def test_expert_parallel_train_step_matches_single_device():
     cfg = _moe_cfg()
     params = jax.tree_util.tree_map(
