@@ -206,7 +206,7 @@ def train(
         n_batches = len(train_batcher)
         n_samples = len(train_batcher.dataset)
         # Device-scalar accumulation: see evaluate() for why not float().
-        loss_total = score_total = None
+        loss_total = score_total = aux_total = None
 
         for batch in prefetch_to_device(
             iter(train_batcher), batch_sharding, prefetch_depth
@@ -223,6 +223,9 @@ def train(
             loss, score = step_metrics["loss"], step_metrics["score"]
             loss_total = loss if loss_total is None else loss_total + loss
             score_total = score if score_total is None else score_total + score
+            aux = step_metrics.get("moe_aux")
+            if aux is not None:
+                aux_total = aux if aux_total is None else aux_total + aux
 
         # The float() conversions force completion of every queued step —
         # they must precede the epoch timing.
@@ -239,14 +242,18 @@ def train(
 
         epoch_seconds = max(time.time() - t0, 1e-9)
         n_chips = max(jax.device_count(), 1)
-        logger.report_scalars(
-            {
-                "Throughput/StepsPerSec": n_batches / epoch_seconds,
-                "Throughput/QAPairsPerSecPerChip":
-                    n_samples / epoch_seconds / n_chips,
-            },
-            epoch,
-        )
+        scalars = {
+            "Throughput/StepsPerSec": n_batches / epoch_seconds,
+            "Throughput/QAPairsPerSecPerChip":
+                n_samples / epoch_seconds / n_chips,
+        }
+        if aux_total is not None:
+            # Expert-balance health for MoE configs: 1.0 == uniform
+            # routing; sustained growth means expert collapse.
+            scalars["Loss/MoEBalanceTrain"] = (
+                float(aux_total) / max(n_batches, 1)
+            )
+        logger.report_scalars(scalars, epoch)
 
         eval_score, eval_loss = evaluate(
             eval_step, state.params, eval_batcher, batch_sharding,

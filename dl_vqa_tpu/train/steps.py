@@ -57,9 +57,11 @@ def _forward_loss(
     compute_dtype,
     pipeline_ctx=None,
     seq_ctx=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (loss, score_sum, logits) — the single forward used by both
-    the train and eval steps.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Returns (loss, score_sum, logits, moe_aux) — the single forward
+    used by both the train and eval steps. ``moe_aux`` is the layer-mean
+    MoE load-balance loss (None for dense configs; informational in
+    eval, folded into ``loss`` in training).
 
     Images come either in-batch (``batch["images"]``) or via the
     device-resident cache (``batch["image_table"]`` gathered at
@@ -80,16 +82,20 @@ def _forward_loss(
     loss = soft_cross_entropy(
         logits, batch["answer_indices"], batch["answer_values"], mask
     )
-    if train and moe_sink:
+    aux = None
+    if moe_sink:
         # MoE load-balance loss, mean over layers so the weight is
-        # depth-independent; train-only — the eval loss stays the task
-        # loss (comparable across dense/MoE configs).
+        # depth-independent; folded into the objective in training only
+        # — the eval loss stays the task loss (comparable across
+        # dense/MoE configs). Returned separately either way so the
+        # trainer can surface expert balance (1.0 == uniform).
         aux = sum(moe_sink) / len(moe_sink)
-        loss = loss + cfg.image.moe_aux_weight * aux
+        if train:
+            loss = loss + cfg.image.moe_aux_weight * aux
     score = vqa_accuracy_sum(
         logits, batch["answer_indices"], batch["answer_values"], mask
     )
-    return loss, score, logits
+    return loss, score, logits, aux
 
 
 def make_train_step(
@@ -125,20 +131,24 @@ def make_train_step(
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
 
+        has_moe = cfg.image.moe_experts > 0
+
         def grads_of(params, mb, mb_rng):
             def loss_fn(p):
-                loss, score, _ = _forward_loss(
+                loss, score, _, aux = _forward_loss(
                     p, cfg, mb, True, mb_rng, compute_dtype, pipeline_ctx,
                     seq_ctx,
                 )
-                return loss, score
+                return loss, (score, aux if has_moe else jnp.zeros(()))
 
             if remat:
                 loss_fn = jax.checkpoint(loss_fn)
             return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
         if accum_steps == 1:
-            (loss, score), grads = grads_of(state.params, batch, step_rng)
+            (loss, (score, moe_aux)), grads = grads_of(
+                state.params, batch, step_rng
+            )
         else:
             # The device image table is batch-INVARIANT: it must not be
             # split into microbatches (its rows are a different axis than
@@ -159,11 +169,11 @@ def make_train_step(
             has_mask = "mask" in batch
 
             def body(carry, xs):
-                g_acc, l_acc, s_acc, n_acc = carry
+                g_acc, l_acc, s_acc, a_acc, n_acc = carry
                 mb, idx = xs
                 if image_table is not None:
                     mb = dict(mb, image_table=image_table)
-                (l, s), g = grads_of(
+                (l, (s, a)), g = grads_of(
                     state.params, mb, jax.random.fold_in(step_rng, idx)
                 )
                 # Per-micro loss/grads are normalized by the MICRO's real
@@ -180,13 +190,14 @@ def make_train_step(
                 g_acc = jax.tree_util.tree_map(
                     lambda a, gi: a + gi * scale.astype(gi.dtype), g_acc, g
                 )
-                return (g_acc, l_acc + l * scale, s_acc + s, n_acc + n), None
+                return (g_acc, l_acc + l * scale, s_acc + s,
+                        a_acc + a * scale, n_acc + n), None
 
             init = (
                 jax.tree_util.tree_map(jnp.zeros_like, state.params),
-                jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+                jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
             )
-            (g_sum, l_sum, score, n_total), _ = jax.lax.scan(
+            (g_sum, l_sum, score, a_sum, n_total), _ = jax.lax.scan(
                 body, init, (micro, jnp.arange(accum_steps))
             )
             denom = jnp.maximum(n_total, 1.0)
@@ -194,13 +205,19 @@ def make_train_step(
                 lambda g: g / denom.astype(g.dtype), g_sum
             )
             loss = l_sum / denom
+            moe_aux = a_sum / denom
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=params, opt_state=opt_state, step=state.step + 1
         )
-        return new_state, {"loss": loss, "score": score}
+        metrics = {"loss": loss, "score": score}
+        if has_moe:
+            # Expert balance observability: 1.0 == perfectly uniform
+            # routing; a drift upward means expert collapse.
+            metrics["moe_aux"] = moe_aux
+        return new_state, metrics
 
     if not jit:
         return step_fn
@@ -227,7 +244,7 @@ def make_eval_step(
     (yes/no, number, other) score sums and counts, each [3]."""
 
     def step_fn(params: Dict, batch: Dict):
-        loss, score, logits = _forward_loss(
+        loss, score, logits, _ = _forward_loss(
             params, cfg, batch, False, None, compute_dtype, pipeline_ctx,
             seq_ctx,
         )

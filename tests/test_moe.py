@@ -247,6 +247,92 @@ def test_vit_moe_model_forward_and_grads():
     assert not np.array_equal(gate_before, gate_after)
 
 
+def test_train_metrics_surface_moe_aux():
+    """MoE train steps report the balance loss (1.0 == uniform routing)
+    as metrics['moe_aux'] — incl. under gradient accumulation; dense
+    configs don't grow the key."""
+    cfg = _moe_cfg()
+    params = vqa.init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    batch = jax.device_put(_batch(cfg, batch=4))
+    rng = jax.random.PRNGKey(2)
+
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    _, metrics = step(create_train_state(params, tx), batch, rng)
+    assert "moe_aux" in metrics and np.isfinite(float(metrics["moe_aux"]))
+    assert float(metrics["moe_aux"]) > 0.5  # near 1.0 at a fresh router
+
+    params2 = vqa.init(jax.random.PRNGKey(0), cfg)
+    step2 = make_train_step(cfg, tx, compute_dtype=jnp.float32,
+                            accum_steps=2)
+    _, metrics2 = step2(create_train_state(params2, tx), batch, rng)
+    assert np.isfinite(float(metrics2["moe_aux"]))
+
+    dense = dataclasses.replace(
+        cfg, image=dataclasses.replace(cfg.image, moe_experts=0)
+    )
+    dparams = vqa.init(jax.random.PRNGKey(0), dense)
+    dstep = make_train_step(dense, tx, compute_dtype=jnp.float32)
+    _, dmetrics = dstep(create_train_state(dparams, tx), batch, rng)
+    assert "moe_aux" not in dmetrics
+
+
+def test_moe_checkpoint_predict_roundtrip(tmp_path):
+    """A trained-from-config MoE checkpoint serves through the standard
+    Predictor path (ModelConfig metadata round-trips the moe fields)."""
+    from dl_vqa_tpu import config as config_mod
+    from dl_vqa_tpu.data import synthetic
+    from dl_vqa_tpu.data.dataset import VQADataset
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+    from predict import Predictor
+    import os
+
+    profile = synthetic.make_synthetic_corpus(
+        str(tmp_path / "data"), n_train=16, n_val=8, n_images=4,
+        image_size=32, max_answers=12,
+    )
+    overrides = [
+        "main.use_full=false",
+        "train.max_answers=12",
+        "train.image_size=32",
+        "train.text.question_features=16",
+        "train.text.embedding_features=8",
+        "train.image.encoder=vit",
+        "train.image.num_channels=[3, 16]",
+        "train.image.patch_size=8",
+        "train.image.num_layers=2",
+        "train.image.num_heads=2",
+        "train.image.moe_experts=4",
+        "train.attention.hidden_dim=12",
+        "train.classifier.hidden_dim=16",
+        "tpu.compute_dtype=float32",
+        f"main.small.paths.vocab_path={profile['paths']['vocab_path']}",
+        f"main.small.paths.pretrained_model_path={tmp_path}/model.ckpt",
+    ]
+    cfg = config_mod.compose("config_eval", overrides=overrides)
+    ds = VQADataset(
+        data_paths=profile["val_paths"], other_paths=profile["paths"]
+    )
+    model_cfg = ModelConfig.from_cfg(cfg["train"], ds.num_tokens)
+    assert model_cfg.image.moe_experts == 4
+    params = vqa.init(jax.random.PRNGKey(0), model_cfg)
+    ckpt.save_checkpoint(str(tmp_path / "model.ckpt"), params,
+                         model_cfg=model_cfg)
+
+    predictor = Predictor(
+        cfg, checkpoint_path=f"{tmp_path}/model.ckpt",
+        vocab_path=profile["paths"]["vocab_path"],
+        num_tokens=ds.num_tokens,
+    )
+    assert predictor.model_cfg.image.moe_experts == 4
+    img_dir = os.path.join(profile["paths"]["base_path"], "val2014")
+    image = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    results = predictor.predict([image], ["what color is the cat?"],
+                                top_k=3)
+    answers, probs = zip(*results[0])
+    assert len(answers) == 3 and all(np.isfinite(p) for p in probs)
+
+
 def test_vit_moe_config_meta_roundtrip():
     cfg = _moe_cfg(experts=8, top_k=1, capacity_factor=2.0)
     back = ModelConfig.from_meta_dict(dataclasses.asdict(cfg))
