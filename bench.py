@@ -35,7 +35,7 @@ ITERS = 50        # eval steps per timed run
 
 
 def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False,
-          moe: bool = False):
+          moe: bool = False, int8_vit: bool = False):
     import dataclasses
 
     from dl_vqa_tpu.models import ModelConfig, vqa
@@ -49,6 +49,11 @@ def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False,
         )
     if moe and (f8_stem or int8_stem):
         raise SystemExit("--moe is a ViT mode; drop the cnn-stem flags")
+    if int8_vit and (f8_stem or int8_stem or moe):
+        raise SystemExit(
+            "--int8-vit (W8A8 ViT block matmuls) conflicts with the "
+            "cnn-stem flags and --moe"
+        )
     cfg = ModelConfig(num_tokens=15_193)  # full reference-scale defaults
     if vit:
         cfg = dataclasses.replace(
@@ -87,6 +92,19 @@ def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False,
             dtype=jnp.bfloat16,
         )
         cfg = with_calibrated_scales(cfg, params, cal)
+    if int8_vit:
+        # `--int8-vit` (implies --vit): qkv/out/MLP matmuls on the int8
+        # MXU path with static PTQ scales calibrated here on a sample
+        # batch (ops/vit_int8; the bench inputs ARE its distribution).
+        from dl_vqa_tpu.ops.vit_int8 import with_calibrated_vit_scales
+
+        cal = jnp.asarray(
+            np.random.default_rng(7).standard_normal(
+                (64, cfg.image_size, cfg.image_size, 3)
+            ),
+            dtype=jnp.bfloat16,
+        )
+        cfg = with_calibrated_vit_scales(cfg, params, cal)
     return cfg, params
 
 
@@ -227,12 +245,12 @@ def bench_train(vit: bool = False, f8_stem: bool = False,
 
 def bench_latency(batch_size: int = 8, vit: bool = False,
                   f8_stem: bool = False, int8_stem: bool = False,
-                  moe: bool = False) -> None:
+                  moe: bool = False, int8_vit: bool = False) -> None:
     """Optional serving-latency mode (`python bench.py --latency [--vit]`):
     per-query device latency at a small batch, measured with the
     on-device loop (amortizing dispatch RTT like a pipelined server)."""
     cfg, params = build(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem,
-                        moe=moe)
+                        moe=moe, int8_vit=int8_vit)
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
     run, staged = make_bench_fn(cfg, pool)
     staged = jax.device_put(staged)
@@ -252,7 +270,9 @@ def bench_latency(batch_size: int = 8, vit: bool = False,
                 "value": round(ms_per_step, 2),
                 "unit": "ms per batch-%d %s eval step (pipelined)"
                 % (batch_size,
-                   "ViT-MoE" if moe else ("ViT" if vit else "VQA")),
+                   "ViT-MoE" if moe else
+                   ("ViT-int8" if int8_vit else
+                    ("ViT" if vit else "VQA"))),
                 "vs_baseline": None,
             }
         )
@@ -260,9 +280,10 @@ def bench_latency(batch_size: int = 8, vit: bool = False,
 
 
 def main(vit: bool = False, f8_stem: bool = False,
-         int8_stem: bool = False, moe: bool = False) -> None:
+         int8_stem: bool = False, moe: bool = False,
+         int8_vit: bool = False) -> None:
     cfg, params = build(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem,
-                        moe=moe)
+                        moe=moe, int8_vit=int8_vit)
     n_chips = jax.device_count()
     batch_size = BATCH_SIZE * n_chips  # scale work with the mesh
     pool = [make_batch(cfg, batch_size, seed=s) for s in range(POOL)]
@@ -294,7 +315,8 @@ def main(vit: bool = False, f8_stem: bool = False,
     elapsed = min(times)
 
     qa_per_sec_per_chip = batch_size * ITERS / elapsed / n_chips
-    model_tag = "ViT-MoE" if moe else ("ViT" if vit else "VQA")
+    model_tag = ("ViT-MoE" if moe else
+                 ("ViT-int8" if int8_vit else ("ViT" if vit else "VQA")))
     print(
         json.dumps(
             {
@@ -425,18 +447,21 @@ if __name__ == "__main__":
     f8_stem = "--f8-stem" in sys.argv
     int8_stem = "--int8-stem" in sys.argv
     moe = "--moe" in sys.argv
-    vit = vit or moe  # MoE is a ViT family variant
+    int8_vit = "--int8-vit" in sys.argv
+    vit = vit or moe or int8_vit  # ViT family variants
     if "--e2e" in sys.argv:
         bench_e2e(vit=vit, moe=moe)
     elif "--train" in sys.argv:
-        if int8_stem:
+        if int8_stem or int8_vit:
             raise SystemExit(
-                "--int8-stem is inference-only (static PTQ scales need "
-                "trained weights); use it with the eval/latency modes"
+                "the int8 modes are inference-only (static PTQ scales "
+                "need trained weights); use them with the eval/latency "
+                "modes"
             )
         bench_train(vit=vit, f8_stem=f8_stem, moe=moe)
     elif "--latency" in sys.argv:
         bench_latency(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem,
-                      moe=moe)
+                      moe=moe, int8_vit=int8_vit)
     else:
-        main(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem, moe=moe)
+        main(vit=vit, f8_stem=f8_stem, int8_stem=int8_stem, moe=moe,
+             int8_vit=int8_vit)

@@ -99,7 +99,8 @@ TRAIN_ATTENTION_KERNEL = True
 
 
 def _attention(x, layer, num_heads, dtype, use_pallas=False,
-               fused_bwd=False, seq_ctx=None):
+               fused_bwd=False, seq_ctx=None, int8_scales=None,
+               amax_sink=None):
     """Self-attention with the weights tensor kept in the compute dtype.
 
     At 196 patch tokens x batch 512 the [B, H, S, S] weights are the
@@ -114,11 +115,26 @@ def _attention(x, layer, num_heads, dtype, use_pallas=False,
     materializations and the [S, S] weights never leave VMEM — measured
     30.6k -> 42.2k QA pairs/s/chip on the ViT eval bench (v5e, batch
     512). The XLA path below is the reference (CPU, and the kernel's
-    backward)."""
+    backward).
+
+    ``int8_scales`` (a per-layer ``(s_qkv_in, s_attn_out)`` pair from
+    ``image.quant_scales``) runs the qkv and out projections on the
+    int8 MXU path (ops/vit_int8.py; the attention core stays ``dtype``).
+    ``amax_sink`` collects the two sites' input amaxes instead
+    (calibration pass)."""
     batch, seq, dim = x.shape
     head = dim // num_heads
-    qkv = jnp.dot(x, layer["qkv"]["w"].astype(dtype),
-                  preferred_element_type=jnp.float32) + layer["qkv"]["b"]
+    if amax_sink is not None:
+        amax_sink.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    if int8_scales is not None:
+        from dl_vqa_tpu.ops.vit_int8 import w8a8_linear
+
+        qkv = w8a8_linear(x, layer["qkv"]["w"], layer["qkv"]["b"],
+                          int8_scales[0], jnp.float32)
+    else:
+        qkv = jnp.dot(x, layer["qkv"]["w"].astype(dtype),
+                      preferred_element_type=jnp.float32) + layer["qkv"]["b"]
+
     if seq_ctx is not None:
         # Sequence parallelism (tpu.mesh.seq): tokens are sharded over
         # the 'seq' axis and the attention runs as a ppermute ring with
@@ -130,12 +146,7 @@ def _attention(x, layer, num_heads, dtype, use_pallas=False,
             qkv.astype(dtype), num_heads, seq_ctx.mesh,
             seq_axis=seq_ctx.seq_axis, data_axis=seq_ctx.data_axis,
         )
-        return (
-            jnp.dot(out, layer["out"]["w"].astype(dtype),
-                    preferred_element_type=jnp.float32)
-            + layer["out"]["b"]
-        )
-    if use_pallas and jax.default_backend() == "tpu" and head % 64 == 0:
+    elif use_pallas and jax.default_backend() == "tpu" and head % 64 == 0:
         from dl_vqa_tpu.ops.vit_attention_pallas import (
             vit_attention_qkv_pallas,
             vit_attention_qkv_pallas_fused_bwd,
@@ -144,27 +155,31 @@ def _attention(x, layer, num_heads, dtype, use_pallas=False,
         kernel = (vit_attention_qkv_pallas_fused_bwd if fused_bwd
                   else vit_attention_qkv_pallas)
         out = kernel(qkv.astype(dtype), num_heads)
-        return (
-            jnp.dot(out, layer["out"]["w"].astype(dtype),
-                    preferred_element_type=jnp.float32)
-            + layer["out"]["b"]
-        )
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def heads(t):
-        return t.astype(dtype).reshape(
-            batch, seq, num_heads, head
-        ).transpose(0, 2, 1, 3)
+        def heads(t):
+            return t.astype(dtype).reshape(
+                batch, seq, num_heads, head
+            ).transpose(0, 2, 1, 3)
 
-    q, k, v = heads(q), heads(k), heads(v)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (head ** 0.5)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp((logits - m).astype(jnp.float32)).astype(dtype)
-    denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
-    weights = e / denom.astype(dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v,
-                     preferred_element_type=jnp.float32)
-    out = out.transpose(0, 2, 1, 3).reshape(batch, seq, dim).astype(dtype)
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (head ** 0.5)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp((logits - m).astype(jnp.float32)).astype(dtype)
+        denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        weights = e / denom.astype(dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(batch, seq, dim)
+    out = out.astype(dtype)
+    if amax_sink is not None:
+        amax_sink.append(jnp.max(jnp.abs(out.astype(jnp.float32))))
+    if int8_scales is not None:
+        from dl_vqa_tpu.ops.vit_int8 import w8a8_linear
+
+        return w8a8_linear(out, layer["out"]["w"], layer["out"]["b"],
+                           int8_scales[1], jnp.float32)
     return (
         jnp.dot(out, layer["out"]["w"].astype(dtype),
                 preferred_element_type=jnp.float32)
@@ -222,7 +237,8 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
                     dtype=jnp.float32, use_pallas: bool = False,
                     dropout: float = 0.0, train: bool = False,
                     rngs=(None, None), fused_bwd: bool = False,
-                    moe=None, aux_sink=None, seq_ctx=None) -> jnp.ndarray:
+                    moe=None, aux_sink=None, seq_ctx=None,
+                    int8_scales=None, amax_sink=None) -> jnp.ndarray:
     """One pre-LN transformer block (attention + MLP with residuals).
 
     Shared by the sequential stack in :func:`apply_vit_image` and the
@@ -241,7 +257,9 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
     hld = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
     att = _attention(hld, layer, num_heads, dtype,
                      use_pallas=use_pallas,
-                     fused_bwd=fused_bwd, seq_ctx=seq_ctx).astype(dtype)
+                     fused_bwd=fused_bwd, seq_ctx=seq_ctx,
+                     int8_scales=(int8_scales[:2] if int8_scales else None),
+                     amax_sink=amax_sink).astype(dtype)
     x = x + _dropout(att, dropout, train, rngs[0])
     hld = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
     if "moe" in layer:
@@ -251,16 +269,34 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
         mlp = moe_mlp(hld, layer["moe"], top_k, capacity_factor, dtype,
                       aux_sink=aux_sink).astype(dtype)
     else:
-        hld = jax.nn.relu(
-            jnp.dot(hld, layer["mlp_in"]["w"].astype(dtype),
-                    preferred_element_type=jnp.float32)
-            + layer["mlp_in"]["b"]
-        ).astype(dtype)
-        mlp = (
-            jnp.dot(hld, layer["mlp_out"]["w"].astype(dtype),
-                    preferred_element_type=jnp.float32)
-            + layer["mlp_out"]["b"]
-        ).astype(dtype)
+        if amax_sink is not None:
+            amax_sink.append(jnp.max(jnp.abs(hld.astype(jnp.float32))))
+        if int8_scales is not None:
+            from dl_vqa_tpu.ops.vit_int8 import w8a8_linear
+
+            hld = jax.nn.relu(
+                w8a8_linear(hld, layer["mlp_in"]["w"],
+                            layer["mlp_in"]["b"], int8_scales[2],
+                            jnp.float32)
+            )
+            if amax_sink is not None:
+                amax_sink.append(jnp.max(jnp.abs(hld)))
+            mlp = w8a8_linear(hld, layer["mlp_out"]["w"],
+                              layer["mlp_out"]["b"], int8_scales[3],
+                              dtype)
+        else:
+            hld = jax.nn.relu(
+                jnp.dot(hld, layer["mlp_in"]["w"].astype(dtype),
+                        preferred_element_type=jnp.float32)
+                + layer["mlp_in"]["b"]
+            ).astype(dtype)
+            if amax_sink is not None:
+                amax_sink.append(jnp.max(jnp.abs(hld.astype(jnp.float32))))
+            mlp = (
+                jnp.dot(hld, layer["mlp_out"]["w"].astype(dtype),
+                        preferred_element_type=jnp.float32)
+                + layer["mlp_out"]["b"]
+            ).astype(dtype)
     return x + _dropout(mlp, dropout, train, rngs[1])
 
 
@@ -320,7 +356,8 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                     num_heads: int, dropout: float, train: bool, rng,
                     dtype=jnp.float32, use_pallas: bool = False,
                     pipeline_ctx=None, moe=None,
-                    aux_sink=None, seq_ctx=None) -> jnp.ndarray:
+                    aux_sink=None, seq_ctx=None,
+                    int8_scales=None, amax_sink=None) -> jnp.ndarray:
     """images [B, H, W, 3] -> feature grid [B, g, g, D].
 
     ``pipeline_ctx`` routes the block stack through the GPipe executor
@@ -358,6 +395,12 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
     #   the flash backward keeps the whole recompute in VMEM.
     fused = train and TRAIN_ATTENTION_KERNEL
     kernel_ok = use_pallas and (not train or fused)
+    if int8_scales is not None and pipeline_ctx is not None:
+        raise NotImplementedError(
+            "image.store_dtype='int8' (ViT W8A8) does not compose with "
+            "tpu.mesh.stage > 1: the GPipe executor's homogeneous layer "
+            "stack cannot carry per-layer static scales"
+        )
     if seq_ctx is not None:
         if pipeline_ctx is not None:
             raise NotImplementedError(
@@ -413,6 +456,11 @@ def apply_vit_image(params: Dict, images: jnp.ndarray, patch_size: int,
                       _site_rng(rng, 22 + 2 * idx)),
                 fused_bwd=fused,
                 moe=moe, aux_sink=aux_sink, seq_ctx=seq_ctx,
+                int8_scales=(
+                    tuple(int8_scales[4 * idx: 4 * idx + 4])
+                    if int8_scales is not None else None
+                ),
+                amax_sink=amax_sink,
             )
 
     x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])

@@ -197,11 +197,38 @@ def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
     'vit': patch transformer (new family; see models/vit.py); its block
     stack optionally runs pipeline-parallel (``pipeline_ctx``)."""
     if cfg.image.encoder == "vit":
-        if cfg.image.store_dtype != "compute":
+        int8_scales = None
+        if cfg.image.store_dtype == "int8":
+            # W8A8 block matmuls (ops/vit_int8.py) — inference serving
+            # mode, static PTQ scales calibrated from trained weights.
+            if train:
+                raise ValueError(
+                    "image.store_dtype='int8' is inference-only: its "
+                    "static activation scales are calibrated FROM "
+                    "trained weights (ops.vit_int8.calibrate_vit_scales)."
+                    " Train with store_dtype='compute' and switch at "
+                    "serving time."
+                )
+            if cfg.image.moe_experts > 0:
+                raise ValueError(
+                    "image.store_dtype='int8' does not support MoE "
+                    "blocks (no W8A8 path for the expert einsums)"
+                )
+            expected = 4 * cfg.image.num_layers
+            if len(cfg.image.quant_scales) != expected:
+                raise ValueError(
+                    f"image.quant_scales has "
+                    f"{len(cfg.image.quant_scales)} entries; the vit "
+                    f"W8A8 mode needs {expected} (4 per block) — "
+                    "calibrate with ops.vit_int8.with_calibrated_"
+                    "vit_scales"
+                )
+            int8_scales = cfg.image.quant_scales
+        elif cfg.image.store_dtype != "compute":
             raise ValueError(
                 f"image.store_dtype={cfg.image.store_dtype!r} is a CNN-stem "
                 "serving mode (quantized conv-output storage); the vit "
-                "encoder has no stem store — unset it or use encoder=cnn"
+                "encoder supports 'compute' or 'int8' (W8A8 block matmuls)"
             )
         from dl_vqa_tpu.models.vit import apply_vit_image
 
@@ -214,6 +241,7 @@ def image_encoder(params: Params, cfg: ModelConfig, images: jnp.ndarray,
             cfg.image.num_heads, cfg.image.dropout, train, rng, dtype,
             use_pallas=cfg.use_pallas, pipeline_ctx=pipeline_ctx,
             moe=moe, aux_sink=aux_sink, seq_ctx=seq_ctx,
+            int8_scales=int8_scales,
         )
     if pipeline_ctx is not None:
         raise ValueError(

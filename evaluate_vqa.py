@@ -100,7 +100,12 @@ def evaluate_hw2(overrides=()) -> float:
             # images being scored would leak the eval set into the
             # served configuration. Falls back to val images (with a
             # caveat) only when no train cache exists.
-            from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
+            if model_cfg.image.encoder == "vit":
+                from dl_vqa_tpu.ops.vit_int8 import (
+                    with_calibrated_vit_scales as with_calibrated_scales,
+                )
+            else:
+                from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
 
             train_h5 = os.path.join(
                 profile["paths"]["base_path"],

@@ -142,7 +142,15 @@ class Predictor:
         """
         import jax.numpy as jnp
 
-        from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
+        # Calibrator by encoder: cnn = per-block stem scales
+        # (ops/conv_int8), vit = 4-per-block matmul-site scales
+        # (ops/vit_int8, W8A8 projections/MLP).
+        if self.model_cfg.image.encoder == "vit":
+            from dl_vqa_tpu.ops.vit_int8 import (
+                with_calibrated_vit_scales as with_calibrated_scales,
+            )
+        else:
+            from dl_vqa_tpu.ops.conv_int8 import with_calibrated_scales
 
         self.model_cfg = with_calibrated_scales(
             self.model_cfg, self.params, jnp.asarray(images),
