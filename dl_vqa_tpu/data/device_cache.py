@@ -22,6 +22,14 @@ Two table layouts (``tpu.device_image_cache_layout``):
   check charges per-DEVICE bytes, so 'auto' admits stores up to
   mesh-data x the budget. Losses are bit-identical to the replicated
   path (tests/test_sharding.py::test_device_cache_sharded_layout).
+
+Multi-host runs upload through
+``jax.make_array_from_process_local_data``: each process contributes
+its addressable block (the full table for 'replicated'; only its own
+contiguous row block for 'sharded' — per-host HOST memory scales down
+with the process count too). Note the sharded layout's per-step gather
+all-reduce crosses DCN when the 'data' axis straddles hosts — prefer
+'replicated' on pods unless the table is HBM-bound (docs/SCALING.md).
 """
 
 from __future__ import annotations
@@ -158,9 +166,37 @@ def plan_image_tables(
                 host = np.concatenate(
                     [host, np.zeros((pad,) + host.shape[1:], host.dtype)]
                 )
-            uploaded[ds.image_path] = (
-                jax.device_put(host, sharding) if sharding is not None
-                else jax.device_put(host)
-            )
+            uploaded[ds.image_path] = _upload(host, sharding)
         out[name] = uploaded[ds.image_path]
     return out
+
+
+def _upload(host, sharding):
+    """Place the host table on device under ``sharding``.
+
+    Single-process: a plain ``device_put``. Multi-process (the multihost
+    tier): ``device_put`` cannot populate non-addressable shards, so
+    each process contributes its addressable block via
+    ``jax.make_array_from_process_local_data`` — the full table for a
+    replicated layout, or its contiguous row block for the row-sharded
+    layout (the mesh keeps 'data' outermost and ``jax.devices()`` orders
+    by process, so each process's rows are contiguous)."""
+    import jax
+
+    if sharding is None:
+        return jax.device_put(host)
+    if jax.process_count() == 1:
+        return jax.device_put(host, sharding)
+    rows = [
+        idx[0] for d, idx in
+        sharding.devices_indices_map(host.shape).items()
+        if d.process_index == jax.process_index()
+    ]
+    start = min((sl.start or 0) for sl in rows)
+    stop = max(
+        (sl.stop if sl.stop is not None else host.shape[0]) for sl in rows
+    )
+    local = host if (start, stop) == (0, host.shape[0]) else host[start:stop]
+    return jax.make_array_from_process_local_data(
+        sharding, local, host.shape
+    )

@@ -212,20 +212,16 @@ def main(cfg: dict) -> float:
     # for the shared policy and docs/PERF_NOTES.md for the measurement.
     from dl_vqa_tpu.data.device_cache import plan_image_tables
 
-    if online_images or multihost.active():
+    if online_images:
         # Online batches carry in-batch uint8 JPEGs decoded on the fly;
         # the step never reads a feature table, so uploading one (a
         # dataset built earlier in h5 mode can still have image rows)
-        # would only waste HBM. Multi-host runs feed per-process batches
-        # instead of a resident table (table upload across processes is
-        # future work — docs/SCALING.md).
-        if multihost.active() and not online_images:
-            logger.write(
-                "multihost: device image cache disabled; images ship "
-                "per batch from each process's host"
-            )
+        # would only waste HBM.
         train_image_table = eval_image_table = None
     else:
+        # Works in multihost runs too: each process contributes its
+        # addressable block (device_cache._upload via
+        # make_array_from_process_local_data).
         tables = plan_image_tables(
             cfg, {"train": train_dataset, "val": val_dataset},
             mesh=mesh, log=logger.write,

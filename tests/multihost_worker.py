@@ -28,6 +28,11 @@ def main() -> None:
                     help="tensor-parallel mesh axis (params sharded over "
                          "'model'; exercises the non-addressable-leaf "
                          "checkpoint gather in multi-process runs)")
+    ap.add_argument("--device-cache", default="",
+                    choices=["", "replicated", "sharded"],
+                    help="exercise the device-resident image-table path "
+                         "(multihost upload via "
+                         "make_array_from_process_local_data)")
     ap.add_argument("--save-ckpt", default="",
                     help="after training, save a coordinator-gated "
                          "checkpoint here (non-coordinators mirror with "
@@ -103,12 +108,24 @@ def main() -> None:
             self._images = r.standard_normal(
                 (n, cfg.image_size, cfg.image_size, 3)
             ).astype(np.float32)
+            # Device-cache surface (mirrors VQADataset): identity row
+            # map, a distinct per-dataset table id, fp16 upload size.
+            self.h5_rows = np.arange(n)
+            self.has_image_rows = True
+            self.image_path = f"tiny-{seed}"
 
         def __len__(self) -> int:
             return len(self.questions)
 
         def load_images_nhwc(self, idx):
             return self._images[idx]
+
+        @property
+        def image_store_nbytes(self):
+            return self._images.astype(np.float16).nbytes
+
+        def features_nhwc_all(self, dtype=np.float16):
+            return self._images.astype(dtype)
 
     mesh = make_mesh(data=-1, model=args.model_axis)  # all GLOBAL devices
     bsh = batch_sharding(mesh)
@@ -118,9 +135,23 @@ def main() -> None:
     # 3 batches/epoch; the last is padded (n not divisible by gb).
     train_ds = TinyDataset(2 * gb + gb // 2, seed=5)
     eval_ds = TinyDataset(gb + gb // 2, seed=9)
+    use_cache = bool(args.device_cache)
     train_batcher = Batcher(train_ds, gb, shuffle=True, seed=3,
-                            process_slice=proc_slice)
-    eval_batcher = Batcher(eval_ds, gb, process_slice=proc_slice)
+                            process_slice=proc_slice,
+                            load_images=not use_cache)
+    eval_batcher = Batcher(eval_ds, gb, process_slice=proc_slice,
+                           load_images=not use_cache)
+    train_table = eval_table = None
+    if use_cache:
+        from dl_vqa_tpu.data.device_cache import plan_image_tables
+
+        tables = plan_image_tables(
+            {"tpu": {"device_image_cache": "on",
+                     "device_image_cache_layout": args.device_cache,
+                     "device_image_cache_budget_gb": 0}},
+            {"train": train_ds, "eval": eval_ds}, mesh=mesh,
+        )
+        train_table, eval_table = tables["train"], tables["eval"]
 
     params = vqa.init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(1e-3)
@@ -139,11 +170,13 @@ def main() -> None:
     losses, scores = [], []
     for _ in range(args.epochs):
         for batch in prefetch_to_device(iter(train_batcher), bsh):
+            if train_table is not None:
+                batch = dict(batch, image_table=train_table)
             state, m = train_step(state, batch, rng)
             losses.append(float(m["loss"]))
             scores.append(float(m["score"]))
     eval_score, eval_loss = evaluate(eval_step, state.params, eval_batcher,
-                                     bsh)
+                                     bsh, image_table=eval_table)
 
     ckpt_sums = None
     if args.save_ckpt:

@@ -179,6 +179,50 @@ def test_model_sharded_checkpoint_gathers_across_processes(tmp_path):
     assert r0["ckpt"] == r1["ckpt"]
 
 
+@pytest.mark.parametrize("layout", ["replicated", "sharded"])
+def test_device_image_cache_across_processes(layout):
+    """The device-resident image table works in multi-process runs: each
+    process contributes its addressable block via
+    make_array_from_process_local_data (device_cache._upload) — full
+    table for 'replicated', its own row block for 'sharded' — and the
+    2-process run matches the single-process run per step."""
+    single = _run_worker(
+        ["--procs", "1", "--local-devices", "8",
+         "--device-cache", layout, "--epochs", "1"]
+    )
+
+    port = _free_port()
+    env = _env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "--procs", "2", "--pid", str(pid),
+             "--port", str(port), "--local-devices", "4",
+             "--device-cache", layout, "--epochs", "1"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    r0, r1 = outs
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=0)
+    np.testing.assert_allclose(
+        single["losses"], r0["losses"], rtol=1e-5, atol=1e-6
+    )
+    assert single["eval_score"] == pytest.approx(
+        r0["eval_score"], rel=1e-5, abs=1e-6
+    )
+
+
 def test_maybe_initialize_env_handling(monkeypatch):
     """The 'auto' opt-in must not leak the literal string to jax (which
     falls back to the env var), and partial manual config must pass None
