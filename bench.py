@@ -450,6 +450,11 @@ if __name__ == "__main__":
     int8_vit = "--int8-vit" in sys.argv
     vit = vit or moe or int8_vit  # ViT family variants
     if "--e2e" in sys.argv:
+        if int8_vit or int8_stem:
+            raise SystemExit(
+                "the int8 modes are inference-only; --e2e measures a "
+                "training epoch — use them with the eval/latency modes"
+            )
         bench_e2e(vit=vit, moe=moe)
     elif "--train" in sys.argv:
         if int8_stem or int8_vit:

@@ -271,14 +271,22 @@ class VQADataset:
         feats = self._h5_handle()["features"]
         return int(np.prod(feats.shape)) * 2
 
-    def features_nhwc_all(self, dtype=np.float16) -> np.ndarray:
-        """The WHOLE image store as one [N, H, W, 3] array — the host
-        side of the device-resident image cache (``tpu.
-        device_image_cache``): uploaded once, batches then carry only
-        row indices and the gather runs on device. On relay-backed
-        runtimes the per-batch host->device image transfer (~147 MiB at
-        ~40 MB/s) dominates the end-to-end step; a one-time upload
-        removes it entirely."""
+    @property
+    def image_store_rows(self) -> int:
+        """Row count of the image store (cheap: shape query only)."""
+        return int(self._features_view().shape[0])
+
+    def features_nhwc_all(self, dtype=np.float16, rows=None) -> np.ndarray:
+        """The image store as one [N, H, W, 3] array — the host side of
+        the device-resident image cache (``tpu.device_image_cache``):
+        uploaded once, batches then carry only row indices and the
+        gather runs on device. On relay-backed runtimes the per-batch
+        host->device image transfer (~147 MiB at ~40 MB/s) dominates
+        the end-to-end step; a one-time upload removes it entirely.
+
+        ``rows`` (a slice) loads only that contiguous row block —
+        multi-host sharded uploads read each process's own block so
+        per-host memory scales with 1/process_count."""
         feats = self._features_view()
         if np.dtype(feats.dtype).itemsize > np.dtype(dtype).itemsize:
             import warnings
@@ -291,8 +299,9 @@ class VQADataset:
                 "per-batch host transfer)",
                 stacklevel=2,
             )
+        block = feats[:] if rows is None else feats[rows]
         return np.ascontiguousarray(
-            np.asarray(feats[:], dtype=dtype).transpose(0, 2, 3, 1)
+            np.asarray(block, dtype=dtype).transpose(0, 2, 3, 1)
         )
 
     def load_images_chw(self, sample_indices: np.ndarray,

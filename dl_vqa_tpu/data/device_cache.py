@@ -156,45 +156,87 @@ def plan_image_tables(
         if not getattr(ds, "has_image_rows", False):
             continue
         if ds.image_path not in uploaded:
-            host = ds.features_nhwc_all()
-            if shards > 1 and host.shape[0] % shards:
-                # Pad to a shardable row count; pad rows are never
-                # indexed (batch rows come from the dataset's id map).
-                import numpy as np
-
-                pad = shards - host.shape[0] % shards
-                host = np.concatenate(
-                    [host, np.zeros((pad,) + host.shape[1:], host.dtype)]
-                )
-            uploaded[ds.image_path] = _upload(host, sharding)
+            uploaded[ds.image_path] = _upload_table(ds, sharding, shards)
         out[name] = uploaded[ds.image_path]
     return out
 
 
-def _upload(host, sharding):
-    """Place the host table on device under ``sharding``.
+def _upload_table(ds, sharding, shards):
+    """Load + place one dataset's table under ``sharding``.
 
-    Single-process: a plain ``device_put``. Multi-process (the multihost
-    tier): ``device_put`` cannot populate non-addressable shards, so
-    each process contributes its addressable block via
+    Multi-process row-sharded uploads read ONLY this process's
+    contiguous row block from the store (``features_nhwc_all(rows=...)``
+    — the mesh keeps 'data' outermost and ``jax.devices()`` orders by
+    process, so each process's rows are contiguous): per-host HOST
+    memory scales with 1/process_count, which is the point of the
+    sharded layout at pod-scale stores. Every other case loads the full
+    table (a replicated layout needs it on every host anyway)."""
+    import jax
+    import numpy as np
+
+    multi = jax.process_count() > 1
+    n_rows = getattr(ds, "image_store_rows", None)
+    if multi and shards > 1 and sharding is not None and n_rows:
+        probe = ds.features_nhwc_all(rows=slice(0, 1))
+        padded = -(-n_rows // shards) * shards
+        gshape = (padded,) + probe.shape[1:]
+        mine = [
+            idx[0] for d, idx in
+            sharding.devices_indices_map(gshape).items()
+            if d.process_index == jax.process_index()
+        ]
+        start = min((sl.start or 0) for sl in mine)
+        stop = max((sl.stop if sl.stop is not None else padded)
+                   for sl in mine)
+        local = ds.features_nhwc_all(
+            rows=slice(min(start, n_rows), min(stop, n_rows))
+        )
+        pad = (stop - start) - local.shape[0]
+        if pad:
+            # Tail padding rows (never indexed; batch rows come from the
+            # dataset's id map) land in the last process's block.
+            local = np.concatenate(
+                [local, np.zeros((pad,) + local.shape[1:], local.dtype)]
+            )
+        return jax.make_array_from_process_local_data(
+            sharding, local, gshape
+        )
+
+    host = ds.features_nhwc_all()
+    if shards > 1 and host.shape[0] % shards:
+        # Pad to a shardable row count; pad rows are never indexed.
+        pad = shards - host.shape[0] % shards
+        host = np.concatenate(
+            [host, np.zeros((pad,) + host.shape[1:], host.dtype)]
+        )
+    return _upload(host, sharding)
+
+
+def _upload(host, sharding):
+    """Place a fully-materialized host table under ``sharding``.
+
+    Single-process: a plain ``device_put``. Multi-process:
+    ``device_put`` cannot populate non-addressable shards, so each
+    process contributes its addressable block via
     ``jax.make_array_from_process_local_data`` — the full table for a
-    replicated layout, or its contiguous row block for the row-sharded
-    layout (the mesh keeps 'data' outermost and ``jax.devices()`` orders
-    by process, so each process's rows are contiguous)."""
+    replicated layout, its contiguous row block for a row-sharded one
+    (fallback for table sources without ``image_store_rows``; the
+    block-read path in :func:`_upload_table` avoids materializing
+    ``host`` at all)."""
     import jax
 
     if sharding is None:
         return jax.device_put(host)
     if jax.process_count() == 1:
         return jax.device_put(host, sharding)
-    rows = [
+    mine = [
         idx[0] for d, idx in
         sharding.devices_indices_map(host.shape).items()
         if d.process_index == jax.process_index()
     ]
-    start = min((sl.start or 0) for sl in rows)
+    start = min((sl.start or 0) for sl in mine)
     stop = max(
-        (sl.stop if sl.stop is not None else host.shape[0]) for sl in rows
+        (sl.stop if sl.stop is not None else host.shape[0]) for sl in mine
     )
     local = host if (start, stop) == (0, host.shape[0]) else host[start:stop]
     return jax.make_array_from_process_local_data(

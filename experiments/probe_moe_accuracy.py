@@ -47,8 +47,26 @@ from probe_f8_accuracy import get_dataset
 BATCH = 512
 
 
+def load_corpus():
+    """The shared learnable at-scale corpus (built once, cached in
+    /tmp; same root as probe_f8_accuracy) -> (train_ds, val_ds,
+    image_size)."""
+    on_tpu = jax.default_backend() == "tpu"
+    n_train, n_val, n_images, image_size = (
+        (20_000, 4_000, 1_500, 224) if on_tpu else (512, 256, 64, 64)
+    )
+    root = f"/tmp/dl_vqa_f8acc_learnable_{n_train}_{image_size}"
+    if not os.path.exists(os.path.join(root, "vocab.json")):
+        print(f"building corpus at {root} ...", flush=True)
+        synthetic.make_synthetic_corpus(
+            root, n_train=n_train, n_val=n_val, n_images=n_images,
+            image_size=image_size, max_answers=1000, learnable=True,
+        )
+    return get_dataset("train", root), get_dataset("val", root), image_size
+
+
 def train_one(tag: str, cfg: ModelConfig, train_ds, val_ds,
-              epochs: int) -> float:
+              epochs: int, keep_params: bool = False):
     params = vqa.init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(5e-4)
     state = create_train_state(params, tx)
@@ -61,7 +79,7 @@ def train_one(tag: str, cfg: ModelConfig, train_ds, val_ds,
     train_b = Batcher(train_ds, BATCH, shuffle=True, load_images=False)
     val_b = Batcher(val_ds, BATCH, shuffle=False, load_images=False)
 
-    best = -1.0
+    best, best_params = -1.0, params
     for epoch in range(epochs):
         t0 = time.perf_counter()
         metrics = None
@@ -70,27 +88,18 @@ def train_one(tag: str, cfg: ModelConfig, train_ds, val_ds,
             state, metrics = step(state, batch, rng)
         score, _ = evaluate(eval_step, state.params, val_b,
                             image_table=val_table)
-        best = max(best, score)
+        if score > best:
+            best = score
+            if keep_params:
+                best_params = jax.device_get(state.params)
         print(f"[{tag}] epoch {epoch}: loss={float(metrics['loss']):.4f} "
               f"val={score:.3f}% best={best:.3f}% "
               f"({time.perf_counter() - t0:.1f}s)", flush=True)
-    return best
+    return (best, best_params) if keep_params else best
 
 
 def main(epochs: int = 15) -> None:
-    on_tpu = jax.default_backend() == "tpu"
-    n_train, n_val, n_images, image_size = (
-        (20_000, 4_000, 1_500, 224) if on_tpu else (512, 256, 64, 64)
-    )
-    # Same corpus (and on-disk cache) as the f8/int8 accuracy probe.
-    root = f"/tmp/dl_vqa_f8acc_learnable_{n_train}_{image_size}"
-    if not os.path.exists(os.path.join(root, "vocab.json")):
-        print(f"building corpus at {root} ...", flush=True)
-        synthetic.make_synthetic_corpus(
-            root, n_train=n_train, n_val=n_val, n_images=n_images,
-            image_size=image_size, max_answers=1000, learnable=True,
-        )
-    train_ds, val_ds = get_dataset("train", root), get_dataset("val", root)
+    train_ds, val_ds, image_size = load_corpus()
 
     jax.config.update("jax_default_prng_impl", "rbg")
     base = ModelConfig(num_tokens=train_ds.num_tokens, max_answers=1000,
@@ -98,8 +107,7 @@ def main(epochs: int = 15) -> None:
     dense = dataclasses.replace(
         base,
         image=dataclasses.replace(
-            base.image, encoder="vit",
-            patch_size=16 if on_tpu else 16,
+            base.image, encoder="vit", patch_size=16,
             num_layers=4, num_heads=4,
             num_channels=(3, 256),
         ),
@@ -116,8 +124,8 @@ def main(epochs: int = 15) -> None:
         "val_accuracy_moe_vit": round(best_moe, 3),
         "delta_pct_points": round(best_moe - best_dense, 3),
         "moe_shape": "8 experts, top-2, capacity 1.25, aux 0.01",
-        "corpus": f"learnable, {n_train} train / {n_val} val / "
-                  f"{n_images} images @ {image_size}px, 1000 answers",
+        "corpus": f"learnable, {len(train_ds)} train / "
+                  f"{len(val_ds)} val @ {image_size}px, 1000 answers",
         "epochs": epochs,
     }))
 

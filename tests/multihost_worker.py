@@ -124,8 +124,13 @@ def main() -> None:
         def image_store_nbytes(self):
             return self._images.astype(np.float16).nbytes
 
-        def features_nhwc_all(self, dtype=np.float16):
-            return self._images.astype(dtype)
+        @property
+        def image_store_rows(self):
+            return len(self._images)
+
+        def features_nhwc_all(self, dtype=np.float16, rows=None):
+            imgs = self._images if rows is None else self._images[rows]
+            return imgs.astype(dtype)
 
     mesh = make_mesh(data=-1, model=args.model_axis)  # all GLOBAL devices
     bsh = batch_sharding(mesh)
