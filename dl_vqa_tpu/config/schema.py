@@ -127,6 +127,10 @@ CFG_SCHEMA: Dict[str, Any] = {
         },
         # microbatches for the pipeline schedule; 0 = one per stage
         "pipeline_microbatches": int,
+        # ZeRO over the 'data' mesh axis: 0 = off, 1 = shard the Adam
+        # moments, 3 = shard params too (FSDP). 2 is rejected: gradients
+        # are temporaries inside the fused step (see parallel/mesh.py).
+        "zero_stage": int,
         "remat": bool,
         "grad_accum_steps": int,     # >1: microbatch gradient accumulation
         # 'auto' | 'on' | 'off': keep the image feature store resident on

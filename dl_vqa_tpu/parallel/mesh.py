@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated",
-           "state_shardings"]
+           "state_shardings", "zero_spec"]
 
 
 def make_mesh(
@@ -209,13 +209,56 @@ def param_shardings(params: Dict, mesh: Mesh):
     return shardings
 
 
-def state_shardings(state, p_shardings, mesh: Mesh):
+def zero_spec(spec: P, shape: Sequence[int], mesh: Mesh) -> P:
+    """Add the 'data' axis to the best still-unsharded dim of ``spec``.
+
+    This is the whole of ZeRO on a TPU mesh (tpu.zero_stage): annotate the
+    optimizer moments (stage 1) and optionally the parameters (stage 3)
+    as sharded over 'data' and let the XLA SPMD partitioner rewrite the
+    dataflow — the gradient all-reduce becomes a reduce-scatter into the
+    sharded Adam update, and the updated params are all-gathered (once per
+    step for stage 1; at each use for stage 3). No NCCL-style bucketing /
+    hook machinery as in torch ZeRO implementations: the partitioner
+    derives the collectives from the placement (scaling-book recipe).
+
+    Dim choice: the largest dim not already carrying a mesh axis whose
+    size divides the 'data' axis evenly (ties: lowest index). Leaves with
+    no such dim stay on ``spec`` (replicated over 'data') — correct, just
+    unsharded; callers may warn on large ones.
+    """
+    if "data" not in mesh.axis_names:
+        return spec
+    n = mesh.shape["data"]
+    if n <= 1:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best = -1
+    for dim, (axis, size) in enumerate(zip(entries, shape)):
+        if axis is not None or size == 0 or size % n != 0:
+            continue
+        if best == -1 or size > shape[best]:
+            best = dim
+    if best == -1:
+        return spec
+    entries[best] = "data"
+    return P(*entries)
+
+
+def state_shardings(state, p_shardings, mesh: Mesh, zero_stage: int = 0):
     """Shardings for a full TrainState: params (and param-shaped optimizer
     moments, matched by dict-path suffix — Adam's mu/nu mirror the param
-    tree) take the tensor-parallel layout; scalars replicate."""
-    rep = replicated(mesh)
+    tree) take the tensor-parallel layout; scalars replicate.
 
-    def for_leaf_path(path, _leaf):
+    ``zero_stage`` (tpu.zero_stage) additionally splits leaves over the
+    'data' axis via :func:`zero_spec`: stage 1 shards the optimizer
+    moments (Adam state = 2x params in f32 — the dominant train-state
+    HBM after activations); stage 3 shards the parameters too (FSDP).
+    Stage 2 does not exist here: gradients are temporaries inside the one
+    fused jitted step, and the partitioner already places them."""
+    rep = replicated(mesh)
+    zero_fallbacks = []
+
+    def for_leaf_path(path, leaf):
         keys = []
         for e in path:
             k = getattr(e, "key", None) or getattr(e, "name", None)
@@ -224,6 +267,7 @@ def state_shardings(state, p_shardings, mesh: Mesh):
                 k = str(idx) if idx is not None else None
             if k is not None:
                 keys.append(k)
+        found = None
         for start in range(len(keys)):
             node = p_shardings
             for k in keys[start:]:
@@ -236,7 +280,28 @@ def state_shardings(state, p_shardings, mesh: Mesh):
                     node = None
                     break
             if node is not None and not isinstance(node, (dict, list, tuple)):
-                return node
-        return rep
+                found = node
+                break
+        sharding = found if found is not None else rep
+        if zero_stage >= 1 and keys:
+            in_scope = keys[0] == "opt_state" or (
+                zero_stage >= 3 and keys[0] == "params"
+            )
+            shape = getattr(leaf, "shape", ())
+            if in_scope and len(shape) > 0:
+                zspec = zero_spec(sharding.spec, shape, mesh)
+                if zspec != sharding.spec:
+                    return NamedSharding(mesh, zspec)
+                if int(np.prod(shape)) >= _WARN_FALLBACK_ELEMENTS:
+                    zero_fallbacks.append(("/".join(keys), tuple(shape)))
+        return sharding
 
-    return jax.tree_util.tree_map_with_path(for_leaf_path, state)
+    out = jax.tree_util.tree_map_with_path(for_leaf_path, state)
+    if zero_fallbacks:
+        details = "; ".join(f"{p} shape={s}" for p, s in zero_fallbacks)
+        logging.getLogger(__name__).warning(
+            "tpu.zero_stage=%d: no dim of these large leaves divides the "
+            "'data' axis (%d) — they stay replicated over it: %s",
+            zero_stage, mesh.shape.get("data", 1), details,
+        )
+    return out

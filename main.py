@@ -39,6 +39,14 @@ def main(cfg: dict) -> float:
     from dl_vqa_tpu.utils.logger import QuietLogger, TrainLogger
 
     misc.init(cfg)
+    zero_stage = cfg["tpu"].get("zero_stage", 0)
+    if zero_stage not in (0, 1, 3):
+        raise SystemExit(
+            f"tpu.zero_stage must be 0 (off), 1 (shard Adam moments over "
+            f"'data') or 3 (shard params too); got {zero_stage!r}. Stage 2 "
+            f"does not exist here: gradients are temporaries inside the "
+            f"fused train step and the SPMD partitioner already places them."
+        )
     profile = cfg["main"]["full" if cfg["main"]["use_full"] else "small"]
 
     # Multi-host (one process per TPU host): joins the cluster iff the
@@ -164,6 +172,12 @@ def main(cfg: dict) -> float:
         )
     mesh = make_mesh(mesh_cfg["data"], mesh_cfg["model"], stage,
                      expert=expert, seq=seq)
+    if zero_stage and mesh.shape["data"] <= 1:
+        logger.write(
+            f"tpu.zero_stage={zero_stage} is a no-op: the 'data' mesh axis "
+            f"has 1 device, so there is nothing to shard the optimizer "
+            f"state over"
+        )
     b_sharding = make_batch_sharding(mesh)
     pipeline_ctx = None
     if stage > 1:
@@ -183,7 +197,8 @@ def main(cfg: dict) -> float:
     # re-shard the replicated stack inside every step (involuntary
     # rematerialization); an ep mesh needs the expert-major MoE weights
     # on their 'expert' shards.
-    if mesh.shape["model"] > 1 or stage > 1 or expert > 1:
+    if (mesh.shape["model"] > 1 or stage > 1 or expert > 1
+            or (zero_stage and mesh.shape["data"] > 1)):
         from dl_vqa_tpu.parallel import param_shardings, state_shardings
         from dl_vqa_tpu.train.steps import make_optimizer
         from dl_vqa_tpu.train.state import create_train_state
@@ -197,7 +212,8 @@ def main(cfg: dict) -> float:
             params,
         )
         state_sharding = state_shardings(
-            template, param_shardings(params, mesh), mesh
+            template, param_shardings(params, mesh), mesh,
+            zero_stage=zero_stage,
         )
     compute_dtype = jnp.bfloat16 if cfg["tpu"]["compute_dtype"] == "bfloat16" \
         else jnp.float32

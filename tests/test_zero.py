@@ -1,0 +1,304 @@
+"""ZeRO optimizer/parameter sharding over the 'data' mesh axis
+(``tpu.zero_stage``, parallel/mesh.py:zero_spec).
+
+The reference is single-GPU with no optimizer-state partitioning; this is
+new TPU-native capability: the sharding ANNOTATION is the whole
+implementation — the XLA SPMD partitioner turns the gradient all-reduce
+into reduce-scatter + sharded Adam update + all-gather (scaling-book
+recipe), so these tests check (a) the numbers match the unsharded step,
+(b) the memory actually shrinks per device, and (c) the layout survives
+the donated step (no per-step resharding churn).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from dl_vqa_tpu.models import ModelConfig, vqa
+from dl_vqa_tpu.models.configs import (
+    AttentionConfig,
+    ClassifierConfig,
+    ImageConfig,
+    TextConfig,
+)
+from dl_vqa_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    state_shardings,
+)
+from dl_vqa_tpu.parallel.mesh import zero_spec
+from dl_vqa_tpu.train.state import create_train_state
+from dl_vqa_tpu.train.steps import make_eval_step, make_optimizer, make_train_step
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _cfg():
+    return ModelConfig(
+        text=TextConfig(question_features=16, embedding_features=8,
+                        dropout=0.0),
+        image=ImageConfig(num_channels=(3, 4, 8), dropout=0.0),
+        attention=AttentionConfig(hidden_dim=16, glimpses=2, dropout=0.0),
+        classifier=ClassifierConfig(hidden_dim=16, dropout=0.0),
+        max_answers=16,
+        image_size=32,
+        num_tokens=32,
+    )
+
+
+def _batch(cfg, batch=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "images": rng.standard_normal(
+            (batch, cfg.image_size, cfg.image_size, 3)
+        ).astype(np.float32),
+        "questions": rng.integers(0, cfg.num_tokens, (batch, 6)).astype(
+            np.int32
+        ),
+        "lengths": rng.integers(1, 7, (batch,)).astype(np.int32),
+        "answer_indices": rng.integers(1, 17, (batch, 2)).astype(np.int32),
+        "answer_values": rng.integers(1, 10, (batch, 2)).astype(np.int32),
+        "mask": np.ones((batch,), dtype=bool),
+    }
+
+
+def _zero_state_sharding(params, tx, mesh, zero_stage):
+    template = jax.eval_shape(lambda p: create_train_state(p, tx), params)
+    return state_shardings(
+        template, param_shardings(params, mesh), mesh, zero_stage=zero_stage
+    )
+
+
+def _run_steps(state, step, batches, rng):
+    metrics = []
+    for b in batches:
+        state, m = step(state, b, rng)
+        metrics.append((float(m["loss"]), float(m["score"])))
+    return state, metrics
+
+
+def test_zero_spec_dim_choice():
+    mesh = make_mesh(data=8, model=1)
+    # largest divisible dim wins
+    assert zero_spec(P(), (16, 64), mesh) == P(None, "data")
+    # already-sharded dims are skipped
+    assert zero_spec(P(None, "model"), (16, 64), mesh) == P("data", "model")
+    # non-divisible leaves stay put
+    assert zero_spec(P(), (3, 7), mesh) == P()
+    # scalars / empty specs on 1-dim leaves
+    assert zero_spec(P(), (64,), mesh) == P("data")
+    # a 1-device data axis is a no-op
+    mesh1 = make_mesh(data=1, model=8)
+    assert zero_spec(P(), (16, 64), mesh1) == P()
+
+
+@pytest.mark.parametrize("zero_stage", [1, 3])
+def test_zero_step_matches_unsharded(zero_stage):
+    """3 donated train steps under ZeRO == the same-mesh dp steps with
+    replicated state (isolates the ZeRO rewrite — reduce-scatter + sharded
+    update + all-gather — from the batch-sharding FP effects the plain dp
+    test already covers), and the sharded layout survives each step
+    (donation stability)."""
+    cfg = _cfg()
+    params = jax.tree_util.tree_map(
+        np.asarray, vqa.init(jax.random.PRNGKey(0), cfg)
+    )
+    tx = make_optimizer(1e-3)
+    batches = [_batch(cfg, seed=s) for s in range(3)]
+    rng = jax.random.PRNGKey(7)
+
+    mesh = make_mesh(data=8, model=1)
+    bsh0 = batch_sharding(mesh)
+    sharded_batches = [
+        {k: jax.device_put(v, bsh0) for k, v in b.items()} for b in batches
+    ]
+
+    # same-mesh dp reference, replicated state (zero_stage=0 layout)
+    rep_sharding = _zero_state_sharding(params, tx, mesh, 0)
+    state1 = jax.device_put(create_train_state(params, tx), rep_sharding)
+    step1 = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    state1, m1 = _run_steps(state1, step1, sharded_batches, rng)
+    sharding = _zero_state_sharding(params, tx, mesh, zero_stage)
+    # the moments must actually carry the 'data' axis
+    mu_spec = sharding.opt_state[0].mu["classifier"]["lin1"]["w"].spec
+    assert "data" in [a for a in mu_spec if isinstance(a, str)]
+    p_spec = sharding.params["classifier"]["lin1"]["w"].spec
+    if zero_stage >= 3:
+        assert "data" in [a for a in p_spec if isinstance(a, str)]
+    else:
+        assert "data" not in [a for a in p_spec if isinstance(a, str)]
+
+    state8 = jax.device_put(create_train_state(params, tx), sharding)
+    # per-device moment bytes must be total/8
+    mu_arr = state8.opt_state[0].mu["classifier"]["lin1"]["w"]
+    shard_elems = int(np.prod(mu_arr.addressable_shards[0].data.shape))
+    assert shard_elems == mu_arr.size // 8
+
+    step8 = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    state8, m8 = _run_steps(state8, step8, sharded_batches, rng)
+
+    # Losses over all 3 steps (step-k loss sees step-(k-1) params, so this
+    # IS a multi-step parity check on the full state evolution). Params
+    # themselves cannot be compared tightly after an Adam step: the update
+    # g/(sqrt(g^2)+eps) has derivative ~lr/eps (=1e5 here) at g~0, so the
+    # ~1e-7 reduce-scatter-vs-all-reduce reassociation noise on
+    # near-zero-gradient elements legitimately shows up at ~1e-4 in params.
+    # Instead compare the moments, which are LINEAR in the gradients.
+    for (l1, s1), (l8, s8) in zip(m1, m8):
+        assert l1 == pytest.approx(l8, rel=1e-5)
+        assert s1 == pytest.approx(s8, rel=1e-5)
+
+    state1b = jax.device_put(create_train_state(params, tx), rep_sharding)
+    state1b, _ = step1(state1b, sharded_batches[0], rng)
+    state8b = jax.device_put(create_train_state(params, tx), sharding)
+    state8b, _ = step8(state8b, sharded_batches[0], rng)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1b.opt_state),
+        jax.tree_util.tree_leaves(state8b.opt_state),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4
+        )
+
+    # the layout must survive the donated step — a step that silently
+    # re-replicates the moments would still be numerically right but
+    # defeat ZeRO (and re-shard every step). Compare placements, not spec
+    # strings: on this model=1 mesh the partitioner may normalize
+    # P('data','model') to the equivalent P('data',).
+    mu_after = state8.opt_state[0].mu["classifier"]["lin1"]["w"]
+    assert mu_after.sharding.is_equivalent_to(mu_arr.sharding, mu_after.ndim)
+    after_elems = int(np.prod(mu_after.addressable_shards[0].data.shape))
+    assert after_elems == mu_after.size // 8
+
+
+def test_zero3_eval_matches():
+    """FSDP-sharded params feed the eval step unchanged (XLA all-gathers
+    at use)."""
+    cfg = _cfg()
+    params = vqa.init(jax.random.PRNGKey(1), cfg)
+    batch = _batch(cfg, seed=2)
+
+    eval_step = make_eval_step(cfg, compute_dtype=jnp.float32)
+    l_ref, s_ref = eval_step(params, jax.device_put(batch))
+
+    mesh = make_mesh(data=8, model=1)
+    tx = make_optimizer(1e-3)
+    sharding = _zero_state_sharding(params, tx, mesh, 3)
+    params_z = jax.device_put(params, sharding.params)
+    bsh = batch_sharding(mesh)
+    sharded = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    l_z, s_z = eval_step(params_z, sharded)
+    assert float(l_ref) == pytest.approx(float(l_z), rel=1e-5)
+    assert float(s_ref) == pytest.approx(float(s_z), rel=1e-5)
+
+
+def test_zero3_main_cli_smoke(tmp_path, monkeypatch):
+    """main.py trains end-to-end with tpu.zero_stage=3 over the 8-device
+    mesh (the full wiring: config validation -> state_shardings ->
+    device_put -> donated steps -> checkpoint)."""
+    import os
+    import sys
+
+    from dl_vqa_tpu.data import synthetic
+
+    root = str(tmp_path / "data")
+    synthetic.make_synthetic_corpus(
+        root, n_train=32, n_val=16, n_images=6, image_size=32, max_answers=12
+    )
+    monkeypatch.chdir(tmp_path)
+    overrides = [
+        "main.use_full=false",
+        f"main.small.paths.base_path={root}",
+        f"main.small.paths.vocab_path={root}/vocab.json",
+        f"main.small.paths.logs={tmp_path}/logs/",
+        f"main.small.paths.pretrained_model_path={tmp_path}/model.ckpt",
+        "main.small.train_paths.questions=train_questions.json",
+        "main.small.train_paths.answers=train_annotations.json",
+        f"main.small.train_paths.processed_imgs={root}/processed_train_images.h5",
+        f"main.small.train_paths.vqaDataset={tmp_path}/ds_train.npz",
+        "main.small.val_paths.questions=val_questions.json",
+        "main.small.val_paths.answers=val_annotations.json",
+        f"main.small.val_paths.processed_imgs={root}/processed_val_images.h5",
+        f"main.small.val_paths.vqaDataset={tmp_path}/ds_val.npz",
+        "train.num_epochs=1",
+        "train.batch_size=8",
+        "train.max_answers=12",
+        "train.image_size=32",
+        "train.text.question_features=16",
+        "train.text.embedding_features=8",
+        "train.image.num_channels=[3, 4, 6]",
+        "train.attention.hidden_dim=12",
+        "train.classifier.hidden_dim=16",
+        "tpu.compute_dtype=float32",
+        "tpu.zero_stage=3",
+    ]
+    sys.path.insert(0, "/root/repo")
+    from dl_vqa_tpu import config as config_mod
+    import main as train_main
+
+    cfg = config_mod.compose("config", overrides=overrides)
+    best = train_main.main(cfg)
+    assert isinstance(best, float) and best >= 0.0
+    ckpts = [
+        os.path.join(d, f)
+        for d, _, files in os.walk(str(tmp_path / "logs"))
+        for f in files if f == "model.ckpt"
+    ]
+    assert ckpts, "no best checkpoint written under zero_stage=3"
+
+
+def test_zero_stage_validation():
+    """Stage 2 (and garbage) are rejected with the explanatory error."""
+    import main as train_main
+    from dl_vqa_tpu import config as config_mod
+
+    cfg = config_mod.compose("config", overrides=["tpu.zero_stage=2"])
+    with pytest.raises(SystemExit, match="zero_stage"):
+        train_main.main(cfg)
+
+
+def test_zero1_composes_with_tensor_parallel():
+    """dp x tp (4x2) mesh with ZeRO-1: megatron split + data-sharded
+    moments, same numbers as the same-mesh tp step without ZeRO."""
+    cfg = _cfg()
+    params = jax.tree_util.tree_map(
+        np.asarray, vqa.init(jax.random.PRNGKey(3), cfg)
+    )
+    tx = make_optimizer(1e-3)
+    batch = _batch(cfg, seed=4)
+    rng = jax.random.PRNGKey(9)
+
+    mesh = make_mesh(data=4, model=2)
+    bsh0 = batch_sharding(mesh)
+    sharded_batch = {k: jax.device_put(v, bsh0) for k, v in batch.items()}
+
+    state1 = jax.device_put(
+        create_train_state(params, tx), _zero_state_sharding(params, tx,
+                                                             mesh, 0)
+    )
+    step1 = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    state1, m1 = step1(state1, sharded_batch, rng)
+
+    sharding = _zero_state_sharding(params, tx, mesh, 1)
+    # tp split preserved AND the free dim carries 'data'
+    mu_lin1_spec = sharding.opt_state[0].mu["classifier"]["lin1"]["w"].spec
+    assert mu_lin1_spec == P("data", "model")
+    state_z = jax.device_put(create_train_state(params, tx), sharding)
+    step_z = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    state_z, mz = step_z(state_z, sharded_batch, rng)
+
+    assert float(m1["loss"]) == pytest.approx(float(mz["loss"]), rel=1e-5)
+    assert float(m1["score"]) == pytest.approx(float(mz["score"]), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state_z.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
