@@ -144,6 +144,10 @@ CFG_SCHEMA: Dict[str, Any] = {
         # mesh, gather becomes masked-local + all-reduce)
         "device_image_cache_layout": str,
         "checkpoint_backend": str,   # 'npz' (single file) | 'orbax' (async dir)
+        # also write the rolling crash-recovery checkpoint every N batches
+        # WITHIN an epoch (0 = epoch-end only); a restart then resumes the
+        # interrupted epoch at the exact batch (see train/loop.py).
+        "checkpoint_every_steps": int,
         "prefetch_depth": int,
         "use_pallas": bool,
         "debug_nans": bool,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import os
-from typing import Dict, Iterator
+from typing import Dict
 
 import numpy as np
 
@@ -80,9 +80,8 @@ class OnlineBatcher(Batcher):
                          load_images=False, process_slice=process_slice)
         self.loader = loader
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        for batch in super().__iter__():
-            batch["images"] = self.loader.load_batch(
-                self.dataset.image_ids[batch.pop("indices")]
-            )
-            yield batch
+    def _finalize_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        batch["images"] = self.loader.load_batch(
+            self.dataset.image_ids[batch.pop("indices")]
+        )
+        return batch

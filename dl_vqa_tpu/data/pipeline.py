@@ -49,20 +49,40 @@ class Batcher:
         self.shuffle = shuffle
         self.load_images = load_images
         self.process_slice = process_slice
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
         self._epoch = 0
 
     def __len__(self) -> int:
         return -(-len(self.dataset) // self.batch_size)  # ceil
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        """The sample order for ``epoch``, derived STATELESSLY from
+        ``(seed, epoch)`` — any epoch's order is reproducible in
+        isolation, which is what makes mid-epoch crash recovery exact:
+        a resumed run re-derives the interrupted epoch's order and skips
+        the batches already consumed (``iter_epoch(epoch, start_batch)``)
+        instead of replaying the RNG history that produced it. Multi-host
+        runs stay in lockstep for the same reason (same seed, same
+        epoch -> same order on every process)."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(order)
-        self._epoch += 1
+            np.random.default_rng([int(self.seed), int(epoch)]).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch, self._epoch = self._epoch, self._epoch + 1
+        return self.iter_epoch(epoch)
+
+    def iter_epoch(
+        self, epoch: int, start_batch: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate ``epoch``'s batches, skipping the first ``start_batch``
+        (mid-epoch resume). Does not advance the ``__iter__`` counter."""
+        n = len(self.dataset)
+        order = self.epoch_order(epoch)
         bs = self.batch_size
-        for start in range(0, n, bs):
+        for start in range(start_batch * bs, n, bs):
             idx = order[start : start + bs]
             real = len(idx)
             if real < bs:  # pad final batch to the static shape
@@ -94,7 +114,13 @@ class Batcher:
                 batch["image_rows"] = self.dataset.h5_rows[idx].astype(
                     np.int32
                 )
-            yield batch
+            yield self._finalize_batch(batch)
+
+    def _finalize_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Subclass hook applied to every yielded batch (regardless of
+        which iteration entry point produced it) — e.g. the online
+        pipeline attaches freshly decoded JPEG images here."""
+        return batch
 
 
 def prefetch_to_device(

@@ -137,14 +137,28 @@ def train(
     seq_ctx=None,
     train_image_table=None,
     eval_image_table=None,
+    checkpoint_every_steps: int = 0,
 ) -> Dict[str, float]:
     """Train to convergence / early stop; returns the reference's metrics
-    dict (``Metrics/BestAccuracy`` etc.)."""
+    dict (``Metrics/BestAccuracy`` etc.).
+
+    ``checkpoint_every_steps > 0`` (``tpu.checkpoint_every_steps``) also
+    writes the rolling crash-recovery checkpoint every N batches WITHIN
+    an epoch (metadata carries the batch position + the epoch's partial
+    loss/score sums), so a restart resumes the interrupted epoch at the
+    exact batch instead of replaying it — the shuffle order is derived
+    statelessly from (seed, epoch) (``Batcher.epoch_order``) and dropout
+    from the restored step counter, so the resumed trajectory is
+    identical to the uninterrupted one. Each in-epoch save syncs the
+    device-scalar accumulators (one blocking fetch per N steps): choose N
+    large enough that the sync amortizes (seconds of step time)."""
     tx = make_optimizer(train_params.lr)
     state = create_train_state(params, tx)
     best_eval_score = 0.0
     epochs_no_improve = 0
     start_epoch = 0
+    resume_start_batch = 0
+    resume_accum = None
     if opt_restore_path:
         from dl_vqa_tpu.utils.checkpoint import restore_state_meta
 
@@ -162,10 +176,21 @@ def train(
             best_eval_score = float(restore_meta["best_eval_score"])
             epochs_no_improve = int(restore_meta.get("epochs_no_improve", 0))
             if restored_epoch is not None:
-                start_epoch = int(restored_epoch) + 1
+                if "batch_in_epoch" in restore_meta:
+                    # Mid-epoch save: resume the SAME epoch at the next
+                    # batch, with its partial metric sums carried over so
+                    # the epoch's reported loss/score match an
+                    # uninterrupted run exactly.
+                    start_epoch = int(restored_epoch)
+                    resume_start_batch = int(restore_meta["batch_in_epoch"])
+                    resume_accum = restore_meta.get("epoch_accum") or {}
+                else:
+                    start_epoch = int(restored_epoch) + 1
             logger.write(
-                f"Resuming at epoch {start_epoch} with best eval score "
-                f"{best_eval_score:.4f} "
+                f"Resuming at epoch {start_epoch}"
+                + (f", batch {resume_start_batch}" if resume_start_batch
+                   else "")
+                + f" with best eval score {best_eval_score:.4f} "
                 f"({epochs_no_improve} epochs without improvement)"
             )
     if state_sharding is not None:
@@ -198,6 +223,7 @@ def train(
     save_model = train_params.save_model
     is_coordinator = jax.process_index() == 0
 
+    graph_reported = False
     for epoch in range(start_epoch, train_params.num_epochs):
         # Profile the second epoch: the first is dominated by compilation.
         if profile_dir and epoch == 1:
@@ -207,18 +233,34 @@ def train(
         n_samples = len(train_batcher.dataset)
         # Device-scalar accumulation: see evaluate() for why not float().
         loss_total = score_total = aux_total = None
+        start_batch = resume_start_batch if epoch == start_epoch else 0
+        if start_batch and resume_accum is not None:
+            # Partial sums of the interrupted epoch (host floats from the
+            # checkpoint metadata): seed the accumulators so the resumed
+            # epoch's reported metrics equal the uninterrupted run's.
+            if "loss" in resume_accum:
+                loss_total = jnp.float32(resume_accum["loss"])
+                score_total = jnp.float32(resume_accum.get("score", 0.0))
+            if "aux" in resume_accum:
+                aux_total = jnp.float32(resume_accum["aux"])
+        if hasattr(train_batcher, "iter_epoch"):
+            epoch_iter = train_batcher.iter_epoch(epoch, start_batch)
+        else:  # duck-typed batcher without mid-epoch support
+            epoch_iter = iter(train_batcher)
+        batch_idx = start_batch
 
         for batch in prefetch_to_device(
-            iter(train_batcher), batch_sharding, prefetch_depth
+            epoch_iter, batch_sharding, prefetch_depth
         ):
             if train_image_table is not None:
                 batch = dict(batch, image_table=train_image_table)
-            if epoch == start_epoch and loss_total is None and hasattr(
+            if not graph_reported and hasattr(
                 logger, "report_compiled_graph"
             ):
                 # Once per run, on the first batch: the reference's TB
                 # model-graph hook, delivered as the step's StableHLO.
                 logger.report_compiled_graph(train_step, state, batch, rng)
+                graph_reported = True
             state, step_metrics = train_step(state, batch, rng)
             loss, score = step_metrics["loss"], step_metrics["score"]
             loss_total = loss if loss_total is None else loss_total + loss
@@ -226,6 +268,37 @@ def train(
             aux = step_metrics.get("moe_aux")
             if aux is not None:
                 aux_total = aux if aux_total is None else aux_total + aux
+            batch_idx += 1
+            if (
+                checkpoint_every_steps > 0
+                and save_model
+                and batch_idx % checkpoint_every_steps == 0
+                and batch_idx < n_batches
+            ):
+                # Mid-epoch rolling checkpoint: position + partial metric
+                # sums ride the metadata so a restart resumes THIS epoch
+                # at the next batch. The float() fetches sync the step
+                # stream — the documented per-N cost of the feature.
+                from dl_vqa_tpu.utils import checkpoint as ckpt
+
+                if is_coordinator:
+                    epoch_accum = {"loss": float(loss_total),
+                                   "score": float(score_total)}
+                    if aux_total is not None:
+                        epoch_accum["aux"] = float(aux_total)
+                    resume_meta = dict(ckpt_meta or {})
+                    resume_meta.update(
+                        best_eval_score=float(best_eval_score),
+                        epochs_no_improve=int(epochs_no_improve),
+                        batch_in_epoch=batch_idx,
+                        epoch_accum=epoch_accum,
+                    )
+                    ckpt.save_checkpoint_async(
+                        _rolling_path(logger), state, epoch=epoch,
+                        model_cfg=model_cfg, extra_meta=resume_meta,
+                    )
+                else:
+                    ckpt.host_snapshot(state)  # join the gather collective
 
         # The float() conversions force completion of every queued step —
         # they must precede the epoch timing.
@@ -300,22 +373,17 @@ def train(
             # (params + Adam moments + step) every epoch. The serialization
             # and write run on a background thread off the critical path.
             from dl_vqa_tpu.utils import checkpoint as ckpt
-            import os
 
             if is_coordinator:
-                last_name = (
-                    "last.ckpt"
-                    if getattr(logger, "checkpoint_backend", "npz") == "npz"
-                    else "last.ckpt.orbax"
-                )
                 # Resume progress rides the metadata so a restart continues
                 # the run instead of re-warm-starting it (best score, early-
-                # stop counter, epoch budget).
+                # stop counter, epoch budget). No batch_in_epoch: the epoch
+                # is complete, a restart starts the NEXT one.
                 resume_meta = dict(ckpt_meta or {})
                 resume_meta["best_eval_score"] = float(best_eval_score)
                 resume_meta["epochs_no_improve"] = int(epochs_no_improve)
                 ckpt.save_checkpoint_async(
-                    os.path.join(logger.exp_dir, last_name), state,
+                    _rolling_path(logger), state,
                     epoch=epoch, model_cfg=model_cfg, extra_meta=resume_meta,
                 )
             else:
@@ -327,6 +395,18 @@ def train(
             return _finish(metrics)
 
     return _finish(metrics)
+
+
+def _rolling_path(logger) -> str:
+    """Path of the rolling crash-recovery checkpoint for this run."""
+    import os
+
+    last_name = (
+        "last.ckpt"
+        if getattr(logger, "checkpoint_backend", "npz") == "npz"
+        else "last.ckpt.orbax"
+    )
+    return os.path.join(logger.exp_dir, last_name)
 
 
 def _finish(metrics):

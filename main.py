@@ -303,6 +303,7 @@ def main(cfg: dict) -> float:
         profile_dir=cfg["tpu"]["profile_dir"],
         remat=cfg["tpu"]["remat"],
         accum_steps=cfg["tpu"].get("grad_accum_steps", 1),
+        checkpoint_every_steps=cfg["tpu"].get("checkpoint_every_steps", 0),
         pipeline_ctx=pipeline_ctx,
         seq_ctx=seq_ctx,
         train_image_table=train_image_table,

@@ -699,3 +699,161 @@ def test_legacy_vit_list_checkpoint_migrates_to_stacked(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _make_tiny_corpus(tmp_path, n_train=48, n_val=16):
+    from dl_vqa_tpu.data import synthetic
+    from dl_vqa_tpu.data.dataset import VQADataset
+
+    root = str(tmp_path / "data")
+    profile = synthetic.make_synthetic_corpus(
+        root, n_train=n_train, n_val=n_val, n_images=6, image_size=32,
+        max_answers=12, learnable=True,
+    )
+    train_ds = VQADataset(data_paths=profile["train_paths"],
+                          other_paths=profile["paths"],
+                          answerable_only=True)
+    val_ds = VQADataset(data_paths=profile["val_paths"],
+                        other_paths=profile["paths"])
+    return train_ds, val_ds
+
+
+def test_batcher_epoch_order_stateless_and_resumable(tmp_path):
+    """Epoch orders derive from (seed, epoch) alone: reproducible in
+    isolation (no RNG history), distinct across epochs, and iterable from
+    a mid-epoch batch offset — the data-plane contract behind exact
+    mid-epoch crash recovery and multi-host lockstep."""
+    from dl_vqa_tpu.data.pipeline import Batcher
+
+    train_ds, _ = _make_tiny_corpus(tmp_path)
+    b1 = Batcher(train_ds, 16, shuffle=True, seed=7)
+    b2 = Batcher(train_ds, 16, shuffle=True, seed=7)
+
+    # Stateless: same (seed, epoch) -> same order, no matter the history.
+    np.testing.assert_array_equal(b1.epoch_order(3), b2.epoch_order(3))
+    assert not np.array_equal(b1.epoch_order(3), b1.epoch_order(4))
+    assert not np.array_equal(
+        b1.epoch_order(3), Batcher(train_ds, 16, shuffle=True,
+                                   seed=8).epoch_order(3)
+    )
+
+    # __iter__'s k-th full iteration is iter_epoch(k).
+    first = [b["indices"].copy() for b in b1]
+    second = [b["indices"].copy() for b in b1]
+    for got, want in zip(first, b2.iter_epoch(0)):
+        np.testing.assert_array_equal(got, want["indices"])
+    for got, want in zip(second, b2.iter_epoch(1)):
+        np.testing.assert_array_equal(got, want["indices"])
+    assert not np.array_equal(first[0], second[0])
+
+    # Mid-epoch offset yields exactly the tail of the full epoch.
+    full = [b["indices"].copy() for b in b2.iter_epoch(5)]
+    tail = [b["indices"].copy() for b in b2.iter_epoch(5, start_batch=1)]
+    assert len(tail) == len(full) - 1
+    for got, want in zip(tail, full[1:]):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_mid_epoch_resume_equals_uninterrupted(tmp_path):
+    """checkpoint_every_steps writes the rolling checkpoint WITHIN the
+    epoch; a crash after it resumes the SAME epoch at the exact batch and
+    the resumed run's reported epoch metrics and final weights are
+    IDENTICAL to an uninterrupted run (stateless shuffle + step-keyed
+    dropout + carried partial metric sums)."""
+    from dl_vqa_tpu.data.pipeline import Batcher
+    from dl_vqa_tpu.train.loop import TrainParams, train
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    train_ds, val_ds = _make_tiny_corpus(tmp_path)
+    cfg = _tiny_cfg(num_tokens=train_ds.num_tokens)
+
+    class _Logger:
+        def __init__(self, exp_dir):
+            self.exp_dir = exp_dir
+            self.epoch_stats = []
+            self.best_states = []
+
+        def write(self, text, epoch=None, **kw):
+            pass
+
+        def write_epoch_statistics(self, **kw):
+            self.epoch_stats.append(kw)
+
+        def report_scalars(self, scalars, epoch):
+            pass
+
+        def report_scalars_same_plot(self, scalars, epoch):
+            pass
+
+        def save_model(self, state, epoch, model_cfg=None, extra_meta=None):
+            self.best_states.append(
+                jax.tree_util.tree_map(np.asarray, state.params)
+            )
+
+    class _CrashingBatcher(Batcher):
+        """Raises after yielding ``crash_after`` batches of epoch 0."""
+
+        crash_after = 2
+
+        def iter_epoch(self, epoch, start_batch=0):
+            inner = super().iter_epoch(epoch, start_batch)
+
+            def gen():
+                for i, b in enumerate(inner):
+                    if epoch == 0 and start_batch + i >= self.crash_after:
+                        raise RuntimeError("simulated crash")
+                    yield b
+
+            return gen()
+
+    tp = TrainParams(n_epochs_stop=50, num_epochs=1, lr=1e-3, lr_decay=0.0,
+                     lr_gamma=0.0, lr_step_size=1, save_model=True,
+                     max_answers=cfg.max_answers)
+
+    def run(batcher_cls, exp_dir, restore=None, every=0):
+        logger = _Logger(str(exp_dir))
+        os.makedirs(str(exp_dir), exist_ok=True)
+        metrics = train(
+            cfg, vqa.init(jax.random.PRNGKey(0), cfg),
+            batcher_cls(train_ds, 16, shuffle=True, seed=1),
+            Batcher(val_ds, 16, shuffle=False),
+            tp, logger, opt_restore_path=restore,
+            compute_dtype=jnp.float32, seed=1,
+            checkpoint_every_steps=every,
+        )
+        return metrics, logger
+
+    # Uninterrupted ground truth (3 batches of 16 over 48 samples).
+    m_ref, log_ref = run(Batcher, tmp_path / "ref")
+
+    # Crash after batch 2 of epoch 0; the in-epoch save at batch 2 must
+    # already be on disk with the batch position + partial sums.
+    crash_dir = tmp_path / "crash"
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run(_CrashingBatcher, crash_dir, every=2)
+    ckpt.wait_for_async_saves()
+    last = os.path.join(str(crash_dir), "last.ckpt")
+    assert os.path.exists(last)
+    meta = ckpt.load_checkpoint(last)[1]
+    assert meta["epoch"] == 0 and meta["batch_in_epoch"] == 2
+    assert "loss" in meta["epoch_accum"]
+
+    # Resume: exactly one batch + eval runs, and everything the run
+    # reports or saves matches the uninterrupted run bit-for-bit.
+    m_res, log_res = run(Batcher, crash_dir, restore=last)
+    assert len(log_res.epoch_stats) == 1
+    ref_stats, res_stats = log_ref.epoch_stats[0], log_res.epoch_stats[0]
+    assert res_stats["epoch"] == 0
+    assert res_stats["train_loss"] == pytest.approx(
+        ref_stats["train_loss"], rel=1e-6)
+    assert res_stats["train_score"] == pytest.approx(
+        ref_stats["train_score"], rel=1e-6)
+    assert res_stats["eval_score"] == pytest.approx(
+        ref_stats["eval_score"], rel=1e-6)
+    assert m_res["Metrics/BestAccuracy"] == pytest.approx(
+        m_ref["Metrics/BestAccuracy"], rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(log_ref.best_states[-1]),
+        jax.tree_util.tree_leaves(log_res.best_states[-1]),
+    ):
+        np.testing.assert_array_equal(a, b)
