@@ -287,6 +287,20 @@ def state_shardings(state, p_shardings, mesh: Mesh, zero_stage: int = 0):
             in_scope = keys[0] == "opt_state" or (
                 zero_stage >= 3 and keys[0] == "params"
             )
+            if (
+                in_scope and keys[0] == "params"
+                and "stage" in (sharding.spec or ())
+            ):
+                # Stage-sharded params travel through the GPipe shard_map,
+                # whose in_specs declare them P('stage') with every other
+                # dim REPLICATED (parallel/pipeline.py). Adding 'data' to a
+                # free dim here would force an in-jit all-gather over
+                # 'data' at every use — reintroducing the reshard the
+                # stage placement exists to avoid and negating the FSDP
+                # saving. They are already divided n_stage ways; their
+                # Adam moments (opt_state) stay eligible: the optimizer
+                # update runs outside the shard_map.
+                in_scope = False
             shape = getattr(leaf, "shape", ())
             if in_scope and len(shape) > 0:
                 zspec = zero_spec(sharding.spec, shape, mesh)

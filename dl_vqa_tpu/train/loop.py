@@ -222,6 +222,16 @@ def train(
     # coordinator's gather deadlocks.
     save_model = train_params.save_model
     is_coordinator = jax.process_index() == 0
+    if checkpoint_every_steps > 0 and not save_model:
+        # Checkpointing (including the crash-recovery rolling save) hangs
+        # off train.save_model; a mid-epoch cadence without it would be a
+        # silent no-op — say so instead of letting a crash find out.
+        logger.write(
+            "WARNING: tpu.checkpoint_every_steps="
+            f"{checkpoint_every_steps} has no effect because "
+            "train.save_model is false — no mid-epoch checkpoints will "
+            "be written"
+        )
 
     graph_reported = False
     for epoch in range(start_epoch, train_params.num_epochs):
@@ -234,6 +244,19 @@ def train(
         # Device-scalar accumulation: see evaluate() for why not float().
         loss_total = score_total = aux_total = None
         start_batch = resume_start_batch if epoch == start_epoch else 0
+        if start_batch and not hasattr(train_batcher, "iter_epoch"):
+            # A duck-typed batcher without mid-epoch support would replay
+            # the epoch from batch 0; applying the resume metadata anyway
+            # would silently retrain the first ``start_batch`` batches AND
+            # double-count their losses on top of the seeded partial sums.
+            logger.write(
+                f"WARNING: checkpoint requests mid-epoch resume at batch "
+                f"{start_batch} but the batcher has no iter_epoch(); "
+                f"replaying epoch {epoch} from batch 0 (epoch metrics "
+                f"restart; trajectory will not match the uninterrupted run)"
+            )
+            start_batch = 0
+            resume_accum = None
         if start_batch and resume_accum is not None:
             # Partial sums of the interrupted epoch (host floats from the
             # checkpoint metadata): seed the accumulators so the resumed
@@ -279,26 +302,15 @@ def train(
                 # sums ride the metadata so a restart resumes THIS epoch
                 # at the next batch. The float() fetches sync the step
                 # stream — the documented per-N cost of the feature.
-                from dl_vqa_tpu.utils import checkpoint as ckpt
-
-                if is_coordinator:
-                    epoch_accum = {"loss": float(loss_total),
-                                   "score": float(score_total)}
-                    if aux_total is not None:
-                        epoch_accum["aux"] = float(aux_total)
-                    resume_meta = dict(ckpt_meta or {})
-                    resume_meta.update(
-                        best_eval_score=float(best_eval_score),
-                        epochs_no_improve=int(epochs_no_improve),
-                        batch_in_epoch=batch_idx,
-                        epoch_accum=epoch_accum,
-                    )
-                    ckpt.save_checkpoint_async(
-                        _rolling_path(logger), state, epoch=epoch,
-                        model_cfg=model_cfg, extra_meta=resume_meta,
-                    )
-                else:
-                    ckpt.host_snapshot(state)  # join the gather collective
+                epoch_accum = {"loss": float(loss_total),
+                               "score": float(score_total)}
+                if aux_total is not None:
+                    epoch_accum["aux"] = float(aux_total)
+                _save_rolling(
+                    logger, state, epoch, model_cfg, ckpt_meta,
+                    best_eval_score, epochs_no_improve, is_coordinator,
+                    batch_in_epoch=batch_idx, epoch_accum=epoch_accum,
+                )
 
         # The float() conversions force completion of every queued step —
         # they must precede the epoch timing.
@@ -315,10 +327,18 @@ def train(
 
         epoch_seconds = max(time.time() - t0, 1e-9)
         n_chips = max(jax.device_count(), 1)
+        # A resumed epoch only ran the tail: rate its throughput over the
+        # batches it actually executed, not the full epoch's counts.
+        batches_run = n_batches - start_batch
+        samples_run = (
+            n_samples - start_batch * train_batcher.batch_size
+            if start_batch and hasattr(train_batcher, "batch_size")
+            else n_samples * batches_run // max(n_batches, 1)
+        )
         scalars = {
-            "Throughput/StepsPerSec": n_batches / epoch_seconds,
+            "Throughput/StepsPerSec": batches_run / epoch_seconds,
             "Throughput/QAPairsPerSecPerChip":
-                n_samples / epoch_seconds / n_chips,
+                samples_run / epoch_seconds / n_chips,
         }
         if aux_total is not None:
             # Expert-balance health for MoE configs: 1.0 == uniform
@@ -372,22 +392,10 @@ def train(
             # Crash recovery: overwrite a rolling full-state checkpoint
             # (params + Adam moments + step) every epoch. The serialization
             # and write run on a background thread off the critical path.
-            from dl_vqa_tpu.utils import checkpoint as ckpt
-
-            if is_coordinator:
-                # Resume progress rides the metadata so a restart continues
-                # the run instead of re-warm-starting it (best score, early-
-                # stop counter, epoch budget). No batch_in_epoch: the epoch
-                # is complete, a restart starts the NEXT one.
-                resume_meta = dict(ckpt_meta or {})
-                resume_meta["best_eval_score"] = float(best_eval_score)
-                resume_meta["epochs_no_improve"] = int(epochs_no_improve)
-                ckpt.save_checkpoint_async(
-                    _rolling_path(logger), state,
-                    epoch=epoch, model_cfg=model_cfg, extra_meta=resume_meta,
-                )
-            else:
-                ckpt.host_snapshot(state)  # join the gather collective
+            # No batch_in_epoch: the epoch is complete, a restart starts
+            # the NEXT one.
+            _save_rolling(logger, state, epoch, model_cfg, ckpt_meta,
+                          best_eval_score, epochs_no_improve, is_coordinator)
 
         metrics = get_metrics(best_eval_score, eval_score, train_loss)
         if epoch > 3 and epochs_no_improve == train_params.n_epochs_stop:
@@ -395,6 +403,32 @@ def train(
             return _finish(metrics)
 
     return _finish(metrics)
+
+
+def _save_rolling(logger, state, epoch, model_cfg, ckpt_meta,
+                  best_eval_score, epochs_no_improve, is_coordinator,
+                  **extra_meta):
+    """Write (or, on non-coordinators, mirror) the rolling crash-recovery
+    checkpoint. Resume progress rides the metadata so a restart continues
+    the run instead of re-warm-starting it (best score, early-stop
+    counter, epoch budget); mid-epoch callers add batch_in_epoch /
+    epoch_accum via ``extra_meta``. Multi-host: gathering sharded leaves
+    is a COLLECTIVE — non-coordinators must walk the identical pytree via
+    host_snapshot or the coordinator's gather deadlocks, so any change
+    here applies to both branches at once by construction."""
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    if is_coordinator:
+        resume_meta = dict(ckpt_meta or {})
+        resume_meta["best_eval_score"] = float(best_eval_score)
+        resume_meta["epochs_no_improve"] = int(epochs_no_improve)
+        resume_meta.update(extra_meta)
+        ckpt.save_checkpoint_async(
+            _rolling_path(logger), state,
+            epoch=epoch, model_cfg=model_cfg, extra_meta=resume_meta,
+        )
+    else:
+        ckpt.host_snapshot(state)  # join the gather collective
 
 
 def _rolling_path(logger) -> str:

@@ -857,3 +857,131 @@ def test_mid_epoch_resume_equals_uninterrupted(tmp_path):
         jax.tree_util.tree_leaves(log_res.best_states[-1]),
     ):
         np.testing.assert_array_equal(a, b)
+
+
+def test_mid_epoch_resume_duck_typed_batcher_resets(tmp_path):
+    """A batcher WITHOUT iter_epoch can't honor mid-epoch resume metadata;
+    train() must warn, reset to batch 0, and drop the carried partial sums
+    (applying them anyway would double-count the replayed batches)."""
+    from dl_vqa_tpu.data.pipeline import Batcher
+    from dl_vqa_tpu.train.loop import TrainParams, train
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    train_ds, val_ds = _make_tiny_corpus(tmp_path)
+    cfg = _tiny_cfg(num_tokens=train_ds.num_tokens)
+    tp = TrainParams(n_epochs_stop=50, num_epochs=1, lr=1e-3, lr_decay=0.0,
+                     lr_gamma=0.0, lr_step_size=1, save_model=True,
+                     max_answers=cfg.max_answers)
+
+    class _Logger:
+        def __init__(self, exp_dir):
+            self.exp_dir = exp_dir
+            self.lines = []
+            self.epoch_stats = []
+
+        def write(self, text, epoch=None, **kw):
+            self.lines.append(str(text))
+
+        def write_epoch_statistics(self, **kw):
+            self.epoch_stats.append(kw)
+
+        def report_scalars(self, scalars, epoch):
+            pass
+
+        def report_scalars_same_plot(self, scalars, epoch):
+            pass
+
+        def save_model(self, state, epoch, model_cfg=None, extra_meta=None):
+            pass
+
+    class _DuckBatcher:
+        """Minimal batcher surface: no iter_epoch."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.dataset = inner.dataset
+            self.batch_size = inner.batch_size
+            self.batches_yielded = 0
+
+        def __len__(self):
+            return len(self._inner)
+
+        def __iter__(self):
+            for b in self._inner:
+                self.batches_yielded += 1
+                yield b
+
+    # Build a genuinely mid-epoch checkpoint by crashing at batch 2.
+    class _Crashing(Batcher):
+        def iter_epoch(self, epoch, start_batch=0):
+            inner = super().iter_epoch(epoch, start_batch)
+
+            def gen():
+                for i, b in enumerate(inner):
+                    if start_batch + i >= 2:
+                        raise RuntimeError("boom")
+                    yield b
+
+            return gen()
+
+    exp2 = tmp_path / "crash"
+    os.makedirs(str(exp2), exist_ok=True)
+    with pytest.raises(RuntimeError, match="boom"):
+        train(cfg, vqa.init(jax.random.PRNGKey(0), cfg),
+              _Crashing(train_ds, 16, shuffle=True, seed=1),
+              Batcher(val_ds, 16, shuffle=False), tp,
+              _Logger(str(exp2)), compute_dtype=jnp.float32, seed=1,
+              checkpoint_every_steps=2)
+    ckpt.wait_for_async_saves()
+    last = os.path.join(str(exp2), "last.ckpt")
+    meta = ckpt.load_checkpoint(last)[1]
+    assert meta["batch_in_epoch"] == 2
+
+    # Resume with the duck-typed batcher: warn, replay the FULL epoch.
+    duck = _DuckBatcher(Batcher(train_ds, 16, shuffle=True, seed=1))
+    log3 = _Logger(str(tmp_path / "resume"))
+    os.makedirs(log3.exp_dir, exist_ok=True)
+    train(cfg, vqa.init(jax.random.PRNGKey(0), cfg), duck,
+          Batcher(val_ds, 16, shuffle=False), tp, log3,
+          opt_restore_path=last, compute_dtype=jnp.float32, seed=1)
+    assert any("no iter_epoch" in ln for ln in log3.lines)
+    assert duck.batches_yielded == 3  # full epoch, not the 1-batch tail
+
+
+def test_checkpoint_every_steps_warns_without_save_model(tmp_path):
+    """tpu.checkpoint_every_steps is gated on train.save_model; the
+    combination must announce itself instead of silently writing nothing."""
+    from dl_vqa_tpu.data.pipeline import Batcher
+    from dl_vqa_tpu.train.loop import TrainParams, train
+
+    train_ds, val_ds = _make_tiny_corpus(tmp_path)
+    cfg = _tiny_cfg(num_tokens=train_ds.num_tokens)
+    tp = TrainParams(n_epochs_stop=50, num_epochs=1, lr=1e-3, lr_decay=0.0,
+                     lr_gamma=0.0, lr_step_size=1, save_model=False,
+                     max_answers=cfg.max_answers)
+
+    lines = []
+
+    class _Logger:
+        exp_dir = str(tmp_path / "nosave")
+
+        def write(self, text, epoch=None, **kw):
+            lines.append(str(text))
+
+        def write_epoch_statistics(self, **kw):
+            pass
+
+        def report_scalars(self, scalars, epoch):
+            pass
+
+        def report_scalars_same_plot(self, scalars, epoch):
+            pass
+
+    os.makedirs(str(tmp_path / "nosave"), exist_ok=True)
+    train(cfg, vqa.init(jax.random.PRNGKey(0), cfg),
+          Batcher(train_ds, 16, shuffle=True, seed=1),
+          Batcher(val_ds, 16, shuffle=False), tp, _Logger(),
+          compute_dtype=jnp.float32, seed=1, checkpoint_every_steps=2)
+    assert any("no effect" in ln and "save_model" in ln for ln in lines)
+    assert not os.path.exists(os.path.join(str(tmp_path / "nosave"),
+                                           "last.ckpt"))

@@ -302,3 +302,30 @@ def test_zero1_composes_with_tensor_parallel():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
         )
+
+
+def test_zero3_exempts_pipeline_stacked_params():
+    """ZeRO-3 must NOT data-shard params the GPipe shard_map declares as
+    only stage-sharded (parallel/pipeline.py in_specs): a 'data' split on
+    a free dim would be all-gathered back inside the step at every use,
+    negating the FSDP saving. Their Adam moments stay ZeRO-sharded (the
+    optimizer update runs outside the shard_map), and non-pipeline params
+    still get the full FSDP split."""
+    params = {
+        "image": {"layers": {"qkv": {"w": np.zeros((2, 8, 24), np.float32)}}},
+        "classifier": {"lin1": {"w": np.zeros((16, 32), np.float32)}},
+    }
+    mesh = make_mesh(data=2, model=2, stage=2)
+    psh = param_shardings(params, mesh)
+    assert psh["image"]["layers"]["qkv"]["w"].spec == P(
+        "stage", None, "model")
+    tx = make_optimizer(1e-3)
+    template = jax.eval_shape(lambda p: create_train_state(p, tx), params)
+    sh = state_shardings(template, psh, mesh, zero_stage=3)
+    # stacked pipeline param: unchanged (no 'data' anywhere in the spec)
+    assert sh.params["image"]["layers"]["qkv"]["w"].spec == P(
+        "stage", None, "model")
+    # ...but its moments are still ZeRO-sharded,
+    assert "data" in sh.opt_state[0].mu["image"]["layers"]["qkv"]["w"].spec
+    # ...and ordinary params still get FSDP'd.
+    assert sh.params["classifier"]["lin1"]["w"].spec == P("data", "model")
