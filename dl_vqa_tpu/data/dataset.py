@@ -34,8 +34,16 @@ import numpy as np
 
 from dl_vqa_tpu.data import text as vqa_text
 
-__all__ = ["VQADataset", "encode_question", "encode_answers",
-           "load_or_build_val_dataset"]
+__all__ = ["VQADataset", "StaleImageCacheError", "encode_question",
+           "encode_answers", "load_or_build_val_dataset"]
+
+
+class StaleImageCacheError(RuntimeError):
+    """The persisted npz dataset cache's image-row map (``h5_rows``) was
+    built against a DIFFERENT h5 image store than the one on disk (the
+    store was rebuilt: new images, different directory scan order, another
+    machine). Using it would silently pair questions with the wrong
+    images. Callers treat this like a stale cache: rebuild the dataset."""
 
 
 def encode_question(
@@ -207,7 +215,19 @@ class VQADataset:
 
         with h5py.File(self.image_path, "r") as fd:
             ids = fd["ids"][()]
+        # Fingerprint the id ordering the row map was built against, so a
+        # persisted cache can detect a rebuilt/reordered h5 store (save()
+        # records it; load() verifies it).
+        self._h5_ids_meta = self._ids_fingerprint(ids)
         return {int(img_id): row for row, img_id in enumerate(ids)}
+
+    @staticmethod
+    def _ids_fingerprint(ids) -> Dict:
+        import hashlib
+
+        arr = np.ascontiguousarray(np.asarray(ids, dtype=np.int64))
+        return {"n": int(arr.shape[0]),
+                "sha1": hashlib.sha1(arr.tobytes()).hexdigest()}
 
     def _h5_handle(self):
         if self._h5 is None:
@@ -353,6 +373,9 @@ class VQADataset:
                         "max_question_length": int(self.max_question_length),
                         "has_image_rows": getattr(self, "has_image_rows",
                                                   True),
+                        # h5-store fingerprint the h5_rows map is valid
+                        # against (None in online mode / legacy caches).
+                        "h5_ids": getattr(self, "_h5_ids_meta", None),
                     }
                 ).encode(),
                 dtype=np.uint8,
@@ -374,6 +397,28 @@ class VQADataset:
             obj.answerable_only = meta["answerable_only"]
             obj.max_question_length = meta["max_question_length"]
             obj.has_image_rows = meta.get("has_image_rows", True)
+            obj._h5_ids_meta = meta.get("h5_ids")
+            if (
+                obj.has_image_rows
+                and obj._h5_ids_meta
+                and os.path.exists(obj.image_path)
+            ):
+                # Guard against a silently rebuilt h5 store: the cached
+                # h5_rows index rows of the store AS IT WAS at build time;
+                # a store with different ids/order would pair questions
+                # with the wrong images with zero errors. (Caches written
+                # before the fingerprint existed skip the check.)
+                import h5py
+
+                with h5py.File(obj.image_path, "r") as fd:
+                    current = cls._ids_fingerprint(fd["ids"][()])
+                if current != obj._h5_ids_meta:
+                    raise StaleImageCacheError(
+                        f"dataset cache {path!r} was built against a "
+                        f"different image store than {obj.image_path!r} "
+                        f"(ids fingerprint {obj._h5_ids_meta} vs "
+                        f"{current}); rebuild the dataset cache"
+                    )
             for f in cls._ARRAY_FIELDS:
                 if f not in data:
                     raise KeyError(
@@ -421,8 +466,8 @@ def load_or_build_val_dataset(cfg, profile, logger=None, log=None,
     if os.path.exists(cache):
         try:
             dataset = VQADataset.load(cache)
-        except KeyError:
-            dataset = None  # cache from an older version; rebuild
+        except (KeyError, StaleImageCacheError):
+            dataset = None  # older version / rebuilt image store; rebuild
         if (dataset is not None and require_image_cache
                 and not dataset.has_image_rows):
             dataset = None  # cache from online mode; rebuild with rows

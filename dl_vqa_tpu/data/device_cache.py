@@ -177,17 +177,13 @@ def _upload_table(ds, sharding, shards):
     multi = jax.process_count() > 1
     n_rows = getattr(ds, "image_store_rows", None)
     if multi and shards > 1 and sharding is not None and n_rows:
+        from dl_vqa_tpu.parallel import multihost
+
         probe = ds.features_nhwc_all(rows=slice(0, 1))
         padded = -(-n_rows // shards) * shards
         gshape = (padded,) + probe.shape[1:]
-        mine = [
-            idx[0] for d, idx in
-            sharding.devices_indices_map(gshape).items()
-            if d.process_index == jax.process_index()
-        ]
-        start = min((sl.start or 0) for sl in mine)
-        stop = max((sl.stop if sl.stop is not None else padded)
-                   for sl in mine)
+        block = multihost.process_dim0_block(sharding, gshape)
+        start, stop = block.start, block.stop
         local = ds.features_nhwc_all(
             rows=slice(min(start, n_rows), min(stop, n_rows))
         )
@@ -229,15 +225,10 @@ def _upload(host, sharding):
         return jax.device_put(host)
     if jax.process_count() == 1:
         return jax.device_put(host, sharding)
-    mine = [
-        idx[0] for d, idx in
-        sharding.devices_indices_map(host.shape).items()
-        if d.process_index == jax.process_index()
-    ]
-    start = min((sl.start or 0) for sl in mine)
-    stop = max(
-        (sl.stop if sl.stop is not None else host.shape[0]) for sl in mine
-    )
+    from dl_vqa_tpu.parallel import multihost
+
+    block = multihost.process_dim0_block(sharding, host.shape)
+    start, stop = block.start, block.stop
     local = host if (start, stop) == (0, host.shape[0]) else host[start:stop]
     return jax.make_array_from_process_local_data(
         sharding, local, host.shape

@@ -68,6 +68,17 @@ def load_native_library(build_if_missing: bool = True):
         ctypes.c_double, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     lib.vqa_process_batch.restype = ctypes.c_int
+    try:
+        # Per-image failure reporting (added after the first .so release);
+        # a stale binary without it falls back to the serial-probe rescue.
+        lib.vqa_process_batch_status.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.vqa_process_batch_status.restype = ctypes.c_int
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -94,39 +105,51 @@ def process_paths(paths, image_size: int, central_fraction: float,
     n = len(paths)
     out = np.empty((n, image_size, image_size, 3), dtype=np.uint8)
     arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
-    failures = lib.vqa_process_batch(
-        arr, n, image_size, central_fraction,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        num_threads,
-    )
+    status = None
+    if hasattr(lib, "vqa_process_batch_status"):
+        status = np.zeros(n, dtype=np.uint8)
+        failures = lib.vqa_process_batch_status(
+            arr, n, image_size, central_fraction,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            num_threads,
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+    else:  # stale .so without per-image status
+        failures = lib.vqa_process_batch(
+            arr, n, image_size, central_fraction,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            num_threads,
+        )
     if failures:
         # libjpeg hard-fails on files PIL decodes (CMYK/Adobe-transform
-        # JPEGs, PNGs with a .jpg name). Identify the failed slots with
-        # the per-image entry point and rescue them through the PIL
-        # reference transform so the native path stays a true drop-in —
-        # a real decode failure (corrupt file) still raises, via PIL.
+        # JPEGs, PNGs with a .jpg name). Rescue the failed slots through
+        # the PIL reference transform so the native path stays a true
+        # drop-in — a real decode failure (corrupt file) still raises,
+        # via PIL. With the status array only the failed slots are
+        # touched; without it (stale .so) each slot must be probed with
+        # the per-image entry point, a near-full serial re-decode.
         from PIL import Image
 
         from dl_vqa_tpu.data.images import _center_crop, _resize_shorter_edge
 
-        rescued = 0
-        for i, p in enumerate(paths):
-            rc = lib.vqa_decode_one(
-                os.fsencode(p), image_size, central_fraction,
-                out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            )
-            if rc == 0:
-                continue
-            with Image.open(p) as img:  # raises on truly bad files
+        if status is not None:
+            failed = np.nonzero(status)[0].tolist()
+        else:
+            failed = [
+                i for i, p in enumerate(paths)
+                if lib.vqa_decode_one(
+                    os.fsencode(p), image_size, central_fraction,
+                    out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ) != 0
+            ]
+        for i in failed:
+            with Image.open(paths[i]) as img:  # raises on truly bad files
                 img = img.convert("RGB")
                 img = _resize_shorter_edge(
                     img, int(image_size / central_fraction)
                 )
                 img = _center_crop(img, image_size)
                 out[i] = np.asarray(img, dtype=np.uint8)
-            rescued += 1
-            if rescued == failures:
-                break
     return out
 
 

@@ -65,17 +65,21 @@ def apply_stacked_attention(params: Dict, v: jnp.ndarray, q: jnp.ndarray,
     """v: [B, H, W, C] (L2-normalized), q: [B, Q] -> [B, G*C]."""
     batch, h, w, channels = v.shape
     v_flat = v.reshape(batch, h * w, channels).astype(jnp.float32)
+    # Accumulate in f32 but STORE [B, S, mid] in the compute dtype — same
+    # rationale as vqa.attention_logits: this projection (and the fused
+    # relu tensor derived from it each glimpse) dominates the attention
+    # stage's HBM traffic at reference scale.
     v_proj = jnp.einsum(
         "bhwc,cd->bhwd", dropout_fn(v, 0).astype(dtype),
         params["v_conv"]["w"][0, 0].astype(dtype),
         preferred_element_type=jnp.float32,
-    ).reshape(batch, h * w, -1)
+    ).reshape(batch, h * w, -1).astype(dtype)
     u = (
         jnp.dot(dropout_fn(q, 1).astype(dtype),
                 params["q_lin"]["w"].astype(dtype),
                 preferred_element_type=jnp.float32)
         + params["q_lin"]["b"]
-    )
+    ).astype(dtype)
 
     glimpse_feats = []
     for g, layer in enumerate(params["layers"]):
@@ -101,12 +105,14 @@ def apply_stacked_attention(params: Dict, v: jnp.ndarray, q: jnp.ndarray,
                               preferred_element_type=jnp.float32)
         glimpse_feats.append(attended)
         if "update" in layer:
-            u = u + (
-                jnp.dot(attended.astype(dtype),
-                        layer["update"]["w"].astype(dtype),
-                        preferred_element_type=jnp.float32)
+            # Keep u in the compute dtype: a f32 u would re-promote the
+            # next glimpse's fused tensor back to f32 storage.
+            u = (
+                u + jnp.dot(attended.astype(dtype),
+                            layer["update"]["w"].astype(dtype),
+                            preferred_element_type=jnp.float32)
                 + layer["update"]["b"]
-            )
+            ).astype(dtype)
     return jnp.concatenate(glimpse_feats, axis=1)
 
 
@@ -142,20 +148,20 @@ def apply_co_attention(
     dtype,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (v_attended [B, G*C], q_attended [B, Q])."""
-    batch, h, w, channels = v.shape
-    glimpses = params["x_conv"]["w"].shape[-1]
-
     # --- question-guided image attention (same math as 'single') -------
     v_in = dropout_fn(v, 0).astype(dtype)
+    # f32 accumulation, compute-dtype storage (see vqa.attention_logits:
+    # the [B, H, W, mid] projection and its fused relu dominate this
+    # stage's HBM traffic at reference scale).
     v_proj = jnp.einsum("bhwc,cd->bhwd", v_in,
                         params["v_conv"]["w"][0, 0].astype(dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32).astype(dtype)
     q_proj = (
         jnp.dot(dropout_fn(q_pooled, 1).astype(dtype),
                 params["q_lin"]["w"].astype(dtype),
                 preferred_element_type=jnp.float32)
         + params["q_lin"]["b"]
-    )[:, None, None, :]
+    ).astype(dtype)[:, None, None, :]
     if do_option == "*":
         fused = jax.nn.relu(v_proj * q_proj)
     elif do_option == "|":
@@ -172,15 +178,14 @@ def apply_co_attention(
                    preferred_element_type=jnp.float32)
         + params["x_conv"]["b"]
     )
-    v_flat = v.reshape(batch, h * w, channels).astype(jnp.float32)
-    att_flat = att.reshape(batch, h * w, glimpses)
-    weights = jax.nn.softmax(att_flat, axis=1)
-    v_att = jnp.einsum("bsg,bsc->bgc", weights, v_flat,
-                       preferred_element_type=jnp.float32)
-    v_att = v_att.reshape(batch, glimpses * channels)
+    # Same softmax-pool as the base model: route through the central
+    # measured dispatch (ops/attention_pool) instead of re-deriving it.
+    from dl_vqa_tpu.ops.attention_pool import attention_pool_fused
+
+    v_att = attention_pool_fused(v, att)  # [B, G*C]
 
     # --- image-guided question attention over tokens --------------------
-    v_mean = v_flat.mean(axis=1)  # [B, C] global image summary
+    v_mean = v.astype(jnp.float32).mean(axis=(1, 2))  # [B, C] summary
     guide = (
         jnp.dot(v_mean.astype(dtype), params["vsum_lin"]["w"].astype(dtype),
                 preferred_element_type=jnp.float32)

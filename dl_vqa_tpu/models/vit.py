@@ -265,7 +265,19 @@ def apply_vit_block(layer: Dict, x: jnp.ndarray, num_heads: int,
     if "moe" in layer:
         from dl_vqa_tpu.ops.moe import moe_mlp
 
-        top_k, capacity_factor = moe if moe is not None else (2, 1.25)
+        if moe is None:
+            # The params say MoE but the config didn't supply routing
+            # knobs (image.moe_experts unset/0 on a MoE checkpoint).
+            # Guessing defaults here would silently route differently
+            # than training did — wrong logits with no error anywhere.
+            raise ValueError(
+                "layer params contain a 'moe' group but no MoE routing "
+                "config was provided — the checkpoint was trained with "
+                "image.moe_experts > 0; evaluate/serve it with a config "
+                "that sets image.moe_experts (and the trained "
+                "moe_top_k / moe_capacity_factor)"
+            )
+        top_k, capacity_factor = moe
         mlp = moe_mlp(hld, layer["moe"], top_k, capacity_factor, dtype,
                       aux_sink=aux_sink).astype(dtype)
     else:

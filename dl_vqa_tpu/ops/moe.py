@@ -22,8 +22,9 @@ the transformer blocks, built the TPU way —
 The algorithm is the standard top-k gating of GShard/Switch (Lepikhin et
 al. 2020, Fedus et al. 2021): per slot, argmax over the not-yet-chosen
 experts, position-in-expert by a cumulative sum over tokens, drop past
-capacity, combine kept slots with their (renormalized) router
-probabilities. The auxiliary load-balance loss is the Switch form
+capacity, combine kept slots with their router probabilities (raw for
+top-1 as in Switch, renormalized for top-k>=2 as in GShard — see
+``top_k_gating``). The auxiliary load-balance loss is the Switch form
 ``E * sum_e f_e * P_e`` (f = fraction of tokens whose FIRST choice is e,
 P = mean router probability of e), which is 1.0 at perfect balance.
 """
@@ -99,7 +100,10 @@ def top_k_gating(
       dispatch ``[G, S, E, C]`` f32 0/1 — token (g, s) occupies slot c of
         expert e;
       combine ``[G, S, E, C]`` f32 — dispatch scaled by the token's
-        renormalized router probability (kept slots sum to 1 per token);
+        router probability: raw for ``top_k == 1`` (Switch — the task
+        gradient must reach the router through the gate scale) and
+        renormalized over the kept slots for ``top_k >= 2`` (GShard;
+        kept slots sum to 1 per token);
       aux_loss — scalar Switch load-balance loss (1.0 at uniform).
     """
     if top_k < 1:
@@ -140,6 +144,16 @@ def top_k_gating(
         slots.append((slot_dispatch, gate))
         gate_sum = gate_sum + gate
         remaining = remaining * (1.0 - oh)
+    if top_k == 1:
+        # Switch semantics (Fedus et al. 2021 §2.2): scale the expert
+        # output by the RAW router probability. Renormalizing a single
+        # gate to g/(g+eps) ~= 1 would cancel the gate out of the forward
+        # and leave the router with ~zero task gradient (measured 3.5e-6
+        # vs 6.0 for top-2 on the same inputs) — the router would train
+        # only on the aux balance loss and experts would never specialize.
+        d, g = slots[0]
+        combine = d * g[:, :, None, None]
+        return dispatch, combine, aux
     # Renormalization epsilon: must be ADDED, not maximum(gate_sum, tiny).
     # A token dropped from all its top-k experts has gate_sum == 0; with
     # denom == float32 tiny the division's VJP computes -g/denom**2 and
@@ -201,5 +215,6 @@ def moe_mlp(
         + params["out"]["b"][:, None, None, :]
     ).astype(dtype)
     # Combine: back to token-major (the reverse all-to-all), scaled by the
-    # renormalized router probabilities.
+    # router probabilities (raw top-1 / renormalized top-k, see
+    # top_k_gating).
     return jnp.einsum("gsec,egcd->gsd", combine.astype(dtype), y)

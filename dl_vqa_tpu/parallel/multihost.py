@@ -51,6 +51,7 @@ __all__ = [
     "is_coordinator",
     "barrier",
     "process_batch_slice",
+    "process_dim0_block",
 ]
 
 # Env names follow jax.distributed.initialize's keyword arguments. On
@@ -156,16 +157,28 @@ def process_batch_slice(sharding, global_batch_size: int) -> Optional[slice]:
     """
     if jax.process_count() == 1:
         return None
-    index_map = sharding.addressable_devices_indices_map(
-        (global_batch_size,)
-    )
+    return process_dim0_block(sharding, (global_batch_size,))
+
+
+def process_dim0_block(sharding, global_shape) -> slice:
+    """The contiguous dim-0 row block this process owns for an array of
+    ``global_shape`` placed with ``sharding`` — the single source of the
+    "my rows" derivation used by the batch feeder (above) and the
+    device-resident image-table uploads (:mod:`dl_vqa_tpu.data.
+    device_cache`). Derived from the sharding itself: the union of the
+    dim-0 index ranges of this process's addressable shards. Raises if
+    that union is not contiguous — :func:`dl_vqa_tpu.parallel.make_mesh`
+    keeps ``data`` outermost over the process-ordered ``jax.devices()``
+    list precisely so it is."""
+    n = int(global_shape[0])
+    index_map = sharding.addressable_devices_indices_map(tuple(global_shape))
     starts = set()
     stops = set()
-    rows = np.zeros(global_batch_size, dtype=bool)
+    rows = np.zeros(n, dtype=bool)
     for idx in index_map.values():
         s = idx[0]
         start = s.start or 0
-        stop = s.stop if s.stop is not None else global_batch_size
+        stop = s.stop if s.stop is not None else n
         starts.add(start)
         stops.add(stop)
         rows[start:stop] = True
@@ -173,7 +186,7 @@ def process_batch_slice(sharding, global_batch_size: int) -> Optional[slice]:
     hi = max(stops)
     if int(rows.sum()) != hi - lo:
         raise ValueError(
-            "this process's batch shards are not a contiguous row block "
+            "this process's dim-0 shards are not a contiguous row block "
             f"(rows {sorted(starts)}..{sorted(stops)}); build the mesh "
             "with make_mesh() so the 'data' axis stays outermost over "
             "the process-ordered device list"

@@ -159,6 +159,8 @@ def train(
     start_epoch = 0
     resume_start_batch = 0
     resume_accum = None
+    last_eval_score = 0.0
+    last_train_loss = 0.0
     if opt_restore_path:
         from dl_vqa_tpu.utils.checkpoint import restore_state_meta
 
@@ -175,6 +177,8 @@ def train(
             # reference's warm-start semantics: retrain from epoch 0.
             best_eval_score = float(restore_meta["best_eval_score"])
             epochs_no_improve = int(restore_meta.get("epochs_no_improve", 0))
+            last_eval_score = float(restore_meta.get("last_eval_score", 0.0))
+            last_train_loss = float(restore_meta.get("last_train_loss", 0.0))
             if restored_epoch is not None:
                 if "batch_in_epoch" in restore_meta:
                     # Mid-epoch save: resume the SAME epoch at the next
@@ -207,7 +211,17 @@ def train(
                                pipeline_ctx=pipeline_ctx, seq_ctx=seq_ctx)
     rng = jax.random.PRNGKey(seed)
 
-    metrics: Dict[str, float] = {}
+    # Seeded from the restore so a run whose epoch budget is already
+    # exhausted (start_epoch >= num_epochs: the loop below never runs)
+    # still reports its restored best score instead of an empty dict
+    # (main.py reads Metrics/BestAccuracy unconditionally).
+    metrics = get_metrics(best_eval_score, last_eval_score, last_train_loss)
+    if start_epoch >= train_params.num_epochs:
+        logger.write(
+            f"Restored run already completed its epoch budget "
+            f"({start_epoch} >= num_epochs={train_params.num_epochs}); "
+            f"nothing to train — reporting restored metrics"
+        )
     # Recorded in checkpoint metadata so the predictor encodes questions at
     # the trained length instead of assuming a default.
     max_q_len = getattr(train_batcher.dataset, "max_question_length", None)
@@ -378,7 +392,11 @@ def train(
             epochs_no_improve = 0
             best_eval_score = eval_score
             if save_model:
-                if is_coordinator:
+                if is_coordinator or _orbax_backend(logger):
+                    # Orbax saves are themselves GLOBAL collectives (every
+                    # process writes its addressable shards and joins
+                    # Orbax's barriers), so every process must call save;
+                    # only the npz path is coordinator-gated.
                     logger.save_model(state, epoch, model_cfg,
                                       extra_meta=ckpt_meta)
                 else:
@@ -393,9 +411,12 @@ def train(
             # (params + Adam moments + step) every epoch. The serialization
             # and write run on a background thread off the critical path.
             # No batch_in_epoch: the epoch is complete, a restart starts
-            # the NEXT one.
+            # the NEXT one. The epoch's metrics ride along so a restart
+            # whose budget is already exhausted can report them.
             _save_rolling(logger, state, epoch, model_cfg, ckpt_meta,
-                          best_eval_score, epochs_no_improve, is_coordinator)
+                          best_eval_score, epochs_no_improve, is_coordinator,
+                          last_eval_score=float(eval_score),
+                          last_train_loss=float(train_loss))
 
         metrics = get_metrics(best_eval_score, eval_score, train_loss)
         if epoch > 3 and epochs_no_improve == train_params.n_epochs_stop:
@@ -418,7 +439,11 @@ def _save_rolling(logger, state, epoch, model_cfg, ckpt_meta,
     here applies to both branches at once by construction."""
     from dl_vqa_tpu.utils import checkpoint as ckpt
 
-    if is_coordinator:
+    if is_coordinator or _orbax_backend(logger):
+        # Orbax saves are global collectives — every process must make
+        # the identical call (all the metadata inputs are replicated
+        # computations, so the args agree across processes); only the
+        # npz gather is coordinator-gated with host_snapshot mirroring.
         resume_meta = dict(ckpt_meta or {})
         resume_meta["best_eval_score"] = float(best_eval_score)
         resume_meta["epochs_no_improve"] = int(epochs_no_improve)
@@ -429,6 +454,10 @@ def _save_rolling(logger, state, epoch, model_cfg, ckpt_meta,
         )
     else:
         ckpt.host_snapshot(state)  # join the gather collective
+
+
+def _orbax_backend(logger) -> bool:
+    return getattr(logger, "checkpoint_backend", "npz") == "orbax"
 
 
 def _rolling_path(logger) -> str:

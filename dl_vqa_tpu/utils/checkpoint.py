@@ -57,10 +57,15 @@ def _leaf_to_host(leaf) -> np.ndarray:
 def host_snapshot(state):
     """Gather a state/params tree to host numpy on every process.
 
-    Coordinator-gated save paths call this from NON-coordinator
-    processes so they participate in the sharded-leaf gather collectives
-    of the coordinator's ``save_checkpoint`` (identical leaf order:
-    both walk the same pytree)."""
+    NPZ-BACKEND mirroring only: coordinator-gated npz save paths call
+    this from NON-coordinator processes so they participate in the
+    sharded-leaf gather collectives of the coordinator's
+    ``save_checkpoint`` (identical leaf order: both walk the same
+    pytree). Orbax saves must NOT be mirrored this way — an Orbax save
+    is itself a global collective, so every process calls ``save``
+    directly (see ``train/loop.py::_save_rolling``); pairing a
+    coordinator-side Orbax save with host_snapshot elsewhere deadlocks
+    the pod on mismatched collectives."""
     return jax.tree_util.tree_map(_leaf_to_host, state)
 
 

@@ -27,7 +27,7 @@ def main(cfg: dict) -> float:
 
     from dl_vqa_tpu import config as config_mod
     from dl_vqa_tpu.data import vocab as vocab_mod
-    from dl_vqa_tpu.data.dataset import VQADataset
+    from dl_vqa_tpu.data.dataset import StaleImageCacheError, VQADataset
     from dl_vqa_tpu.data.images import preprocess_images
     from dl_vqa_tpu.data.pipeline import Batcher
     from dl_vqa_tpu.models import ModelConfig, vqa
@@ -102,7 +102,9 @@ def main(cfg: dict) -> float:
         if os.path.exists(cache):
             try:
                 loaded = VQADataset.load(cache)
-            except KeyError as e:  # cache from an older version
+            except (KeyError, StaleImageCacheError) as e:
+                # older cache version, or the h5 image store was rebuilt
+                # since the row map was persisted
                 logger.write(f"Rebuilding stale cache {cache}: {e}")
             else:
                 if online_images or loaded.has_image_rows:

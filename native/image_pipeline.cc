@@ -15,8 +15,10 @@
 // reference's image cache.
 //
 // Exposed C ABI (ctypes-friendly):
-//   vqa_process_batch(paths, n, image_size, central_fraction, out,
-//                     n_threads) -> number of failed images
+//   vqa_process_batch_status(paths, n, image_size, central_fraction, out,
+//                            n_threads, status) -> number of failed images
+//                            (status: n bytes, 0 = ok / 1 = failed)
+//   vqa_process_batch(...) — same without the status array
 //   vqa_decode_one(path, image_size, central_fraction, out) -> 0/err
 
 #include <cstddef>
@@ -290,11 +292,15 @@ int vqa_decode_one(const char* path, int image_size, double central_fraction,
   return TransformFile(path, image_size, central_fraction, out) ? 0 : 1;
 }
 
-// Batch across an internal thread pool. `paths` is an array of n C strings;
-// `out` is n*image_size*image_size*3 bytes. Returns the number of failures
-// (failed slots are zero-filled).
-int vqa_process_batch(const char** paths, int n, int image_size,
-                      double central_fraction, uint8_t* out, int n_threads) {
+// Batch across an internal thread pool with per-image status reporting.
+// `paths` is an array of n C strings; `out` is n*image_size*image_size*3
+// bytes; `status` (may be null) receives n bytes: 0 = ok, 1 = failed.
+// Returns the number of failures (failed slots are zero-filled). The
+// status array is what lets a caller rescue ONLY the failed slots through
+// a fallback decoder instead of re-scanning the whole batch serially.
+int vqa_process_batch_status(const char** paths, int n, int image_size,
+                             double central_fraction, uint8_t* out,
+                             int n_threads, uint8_t* status) {
   const size_t img_bytes = size_t(image_size) * image_size * 3;
   std::atomic<int> next(0), failures(0);
   if (n_threads < 1) n_threads = 1;
@@ -302,10 +308,13 @@ int vqa_process_batch(const char** paths, int n, int image_size,
   auto worker = [&]() {
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       uint8_t* dst = out + size_t(i) * img_bytes;
-      if (!TransformFile(paths[i], image_size, central_fraction, dst)) {
+      const bool ok =
+          TransformFile(paths[i], image_size, central_fraction, dst);
+      if (!ok) {
         std::memset(dst, 0, img_bytes);
         failures.fetch_add(1);
       }
+      if (status) status[i] = ok ? 0 : 1;
     }
   };
 
@@ -314,6 +323,13 @@ int vqa_process_batch(const char** paths, int n, int image_size,
     threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return failures.load();
+}
+
+// Backward-compatible entry point (no status array).
+int vqa_process_batch(const char** paths, int n, int image_size,
+                      double central_fraction, uint8_t* out, int n_threads) {
+  return vqa_process_batch_status(paths, n, image_size, central_fraction,
+                                  out, n_threads, nullptr);
 }
 
 }  // extern "C"

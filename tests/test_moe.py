@@ -443,3 +443,55 @@ def test_expert_parallel_train_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
         )
+
+
+def test_top1_router_receives_task_gradient():
+    """Switch (top_k=1) scales expert output by the RAW router prob — a
+    renormalized single gate (g/(g+eps) ~= 1) cancels out of the forward
+    and starves the router of task gradient (measured ~3.5e-6 vs ~6.0 for
+    top-2 before the fix). Guard: the gate's task-loss gradient for top-1
+    must be the same order of magnitude as top-2's, not ~zero."""
+    D, E, S = 8, 4, 12
+    params = init_moe_mlp(jax.random.PRNGKey(0), D, 16, E)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, S, D)), jnp.float32
+    )
+
+    def gate_grad_norm(top_k):
+        def loss(p):
+            return jnp.sum(moe_mlp(x, p, top_k, float(E), jnp.float32) ** 2)
+
+        g = jax.grad(loss)(params)["gate"]["w"]
+        return float(jnp.linalg.norm(g))
+
+    g1, g2 = gate_grad_norm(1), gate_grad_norm(2)
+    assert g1 > 1e-3, f"top-1 router gradient vanished: {g1}"
+    assert g1 > g2 / 100.0  # same order, not six below
+
+
+def test_top1_combine_uses_raw_probability():
+    """Top-1 combine weights equal the raw softmax probability of the
+    chosen expert (Switch), not a renormalized ~1.0."""
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.standard_normal((1, 6, 4)), jnp.float32)
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    _, combine, _ = top_k_gating(logits, top_k=1, capacity=6)
+    got = np.asarray(combine.sum(axis=(2, 3)))[0]          # [S]
+    want = probs[0].max(axis=-1)                           # raw top prob
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_vit_block_rejects_moe_params_without_moe_config():
+    """A layer whose params carry a 'moe' group but whose caller supplies
+    no routing knobs (image.moe_experts unset on a MoE checkpoint) must
+    fail loudly — guessing default top_k/capacity would silently route
+    differently than training did."""
+    from dl_vqa_tpu.models.vit import apply_vit_block, init_vit_image
+
+    stacked = init_vit_image(jax.random.PRNGKey(0), image_size=16,
+                             patch_size=8, model_dim=16, num_layers=1,
+                             moe_experts=4)
+    layer = jax.tree_util.tree_map(lambda l: l[0], stacked["layers"])
+    x = jnp.zeros((2, 4, 16), jnp.float32)
+    with pytest.raises(ValueError, match="moe"):
+        apply_vit_block(layer, x, num_heads=2)

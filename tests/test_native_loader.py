@@ -117,3 +117,17 @@ def test_native_portrait_and_landscape(image_dir):
     a = pil.load_batch(np.array(ids))
     b = native.load_batch(np.array(ids))
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_native_batch_status_symbol_present():
+    """The built .so must export vqa_process_batch_status (per-image
+    failure reporting): without it the rescue path degrades to a serial
+    re-probe of every slot in the batch."""
+    from dl_vqa_tpu.data.native_loader import load_native_library
+
+    lib = load_native_library()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    assert hasattr(lib, "vqa_process_batch_status")

@@ -985,3 +985,99 @@ def test_checkpoint_every_steps_warns_without_save_model(tmp_path):
     assert any("no effect" in ln and "save_model" in ln for ln in lines)
     assert not os.path.exists(os.path.join(str(tmp_path / "nosave"),
                                            "last.ckpt"))
+
+
+def test_save_rolling_orbax_not_coordinator_gated(monkeypatch):
+    """Orbax saves are global collectives: every process must call save.
+    _save_rolling must route non-coordinators to save_checkpoint_async
+    under the orbax backend (npz mirroring via host_snapshot would
+    deadlock the pod on mismatched collectives) and to host_snapshot
+    under npz."""
+    from dl_vqa_tpu.train import loop as loop_mod
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    calls = []
+    monkeypatch.setattr(
+        ckpt, "save_checkpoint_async",
+        lambda *a, **k: calls.append("save"),
+    )
+    monkeypatch.setattr(
+        ckpt, "host_snapshot", lambda state: calls.append("snapshot")
+    )
+
+    class _L:
+        exp_dir = "/tmp/x"
+
+        def __init__(self, backend):
+            self.checkpoint_backend = backend
+
+    state = {"params": {}}
+    loop_mod._save_rolling(_L("orbax"), state, 0, None, None, 0.0, 0,
+                           is_coordinator=False)
+    assert calls == ["save"]
+    calls.clear()
+    loop_mod._save_rolling(_L("npz"), state, 0, None, None, 0.0, 0,
+                           is_coordinator=False)
+    assert calls == ["snapshot"]
+    calls.clear()
+    loop_mod._save_rolling(_L("npz"), state, 0, None, None, 0.0, 0,
+                           is_coordinator=True)
+    assert calls == ["save"]
+
+
+def test_resume_with_exhausted_epoch_budget_reports_metrics(tmp_path):
+    """Restarting a COMPLETED run (restored epoch budget already spent)
+    must return the restored metrics instead of an empty dict (main.py
+    reads Metrics/BestAccuracy unconditionally)."""
+    from dl_vqa_tpu.data.pipeline import Batcher
+    from dl_vqa_tpu.train.loop import TrainParams, train
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    train_ds, val_ds = _make_tiny_corpus(tmp_path)
+    cfg = _tiny_cfg(num_tokens=train_ds.num_tokens)
+    tp = TrainParams(n_epochs_stop=50, num_epochs=1, lr=1e-3, lr_decay=0.0,
+                     lr_gamma=0.0, lr_step_size=1, save_model=True,
+                     max_answers=cfg.max_answers)
+
+    class _Logger:
+        def __init__(self, exp_dir):
+            self.exp_dir = exp_dir
+            self.lines = []
+
+        def write(self, text, epoch=None, **kw):
+            self.lines.append(str(text))
+
+        def write_epoch_statistics(self, **kw):
+            pass
+
+        def report_scalars(self, scalars, epoch):
+            pass
+
+        def report_scalars_same_plot(self, scalars, epoch):
+            pass
+
+        def save_model(self, state, epoch, model_cfg=None, extra_meta=None):
+            pass
+
+    exp = tmp_path / "done"
+    os.makedirs(str(exp), exist_ok=True)
+    m1 = train(cfg, vqa.init(jax.random.PRNGKey(0), cfg),
+               Batcher(train_ds, 16, shuffle=True, seed=1),
+               Batcher(val_ds, 16, shuffle=False), tp, _Logger(str(exp)),
+               compute_dtype=jnp.float32, seed=1)
+    ckpt.wait_for_async_saves()
+    last = os.path.join(str(exp), "last.ckpt")
+
+    # Same num_epochs: start_epoch == num_epochs, the loop never runs.
+    log2 = _Logger(str(tmp_path / "again"))
+    os.makedirs(log2.exp_dir, exist_ok=True)
+    m2 = train(cfg, vqa.init(jax.random.PRNGKey(1), cfg),
+               Batcher(train_ds, 16, shuffle=True, seed=1),
+               Batcher(val_ds, 16, shuffle=False), tp, log2,
+               opt_restore_path=last, compute_dtype=jnp.float32, seed=1)
+    assert m2["Metrics/BestAccuracy"] == pytest.approx(
+        m1["Metrics/BestAccuracy"])
+    assert m2["Metrics/LastAccuracy"] == pytest.approx(
+        m1["Metrics/LastAccuracy"])
+    assert m2["Metrics/LastLoss"] == pytest.approx(m1["Metrics/LastLoss"])
+    assert any("epoch budget" in ln for ln in log2.lines)
