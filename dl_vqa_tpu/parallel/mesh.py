@@ -287,10 +287,16 @@ def state_shardings(state, p_shardings, mesh: Mesh, zero_stage: int = 0):
             in_scope = keys[0] == "opt_state" or (
                 zero_stage >= 3 and keys[0] == "params"
             )
-            if (
-                in_scope and keys[0] == "params"
-                and "stage" in (sharding.spec or ())
-            ):
+            # Flatten spec entries before the membership test: a dim
+            # sharded over a tuple of axes like P(('stage', 'model'))
+            # must match too, not only plain-string entries.
+            spec_axes = set()
+            for entry in sharding.spec or ():
+                if isinstance(entry, str):
+                    spec_axes.add(entry)
+                elif entry is not None:
+                    spec_axes.update(entry)
+            if in_scope and keys[0] == "params" and "stage" in spec_axes:
                 # Stage-sharded params travel through the GPipe shard_map,
                 # whose in_specs declare them P('stage') with every other
                 # dim REPLICATED (parallel/pipeline.py). Adding 'data' to a

@@ -320,10 +320,16 @@ def train(
                                "score": float(score_total)}
                 if aux_total is not None:
                     epoch_accum["aux"] = float(aux_total)
+                # last_* carry the previous epoch-end metrics so a restore
+                # whose epoch budget was meanwhile reduced to <= this epoch
+                # still reports real Metrics/LastAccuracy / LastLoss
+                # instead of 0.0 on the exhausted-budget path.
                 _save_rolling(
                     logger, state, epoch, model_cfg, ckpt_meta,
                     best_eval_score, epochs_no_improve, is_coordinator,
                     batch_in_epoch=batch_idx, epoch_accum=epoch_accum,
+                    last_eval_score=last_eval_score,
+                    last_train_loss=last_train_loss,
                 )
 
         # The float() conversions force completion of every queued step —
@@ -406,6 +412,13 @@ def train(
         else:
             epochs_no_improve += 1
 
+        # Carried into the next epoch's mid-epoch rolling saves and the
+        # epoch-end save below (ADVICE r3: mid-epoch checkpoints used to
+        # omit them, zeroing LastAccuracy/LastLoss on exhausted-budget
+        # restores).
+        last_eval_score = float(eval_score)
+        last_train_loss = float(train_loss)
+
         if save_model:
             # Crash recovery: overwrite a rolling full-state checkpoint
             # (params + Adam moments + step) every epoch. The serialization
@@ -415,8 +428,8 @@ def train(
             # whose budget is already exhausted can report them.
             _save_rolling(logger, state, epoch, model_cfg, ckpt_meta,
                           best_eval_score, epochs_no_improve, is_coordinator,
-                          last_eval_score=float(eval_score),
-                          last_train_loss=float(train_loss))
+                          last_eval_score=last_eval_score,
+                          last_train_loss=last_train_loss)
 
         metrics = get_metrics(best_eval_score, eval_score, train_loss)
         if epoch > 3 and epochs_no_improve == train_params.n_epochs_stop:
