@@ -32,6 +32,7 @@ BASELINE_QA_PER_SEC = 10_000.0
 BATCH_SIZE = 512
 POOL = 4          # distinct staged batches, cycled
 ITERS = 50        # eval steps per timed run
+CAL_BATCH = 64    # PTQ calibration sample for the int8 modes
 
 
 def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False,
@@ -87,7 +88,7 @@ def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False,
 
         cal = jnp.asarray(
             np.random.default_rng(7).standard_normal(
-                (64, cfg.image_size, cfg.image_size, 3)
+                (CAL_BATCH, cfg.image_size, cfg.image_size, 3)
             ),
             dtype=jnp.bfloat16,
         )
@@ -100,7 +101,7 @@ def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False,
 
         cal = jnp.asarray(
             np.random.default_rng(7).standard_normal(
-                (64, cfg.image_size, cfg.image_size, 3)
+                (CAL_BATCH, cfg.image_size, cfg.image_size, 3)
             ),
             dtype=jnp.bfloat16,
         )
@@ -228,6 +229,11 @@ def bench_train(vit: bool = False, f8_stem: bool = False,
     samples_per_sec = (
         BATCH_SIZE * TRAIN_ITERS / elapsed / jax.device_count()
     )
+    from dl_vqa_tpu.utils import flops as flops_util
+
+    mfu = flops_util.mfu(
+        flops_util.train_flops_per_sample(cfg), samples_per_sec
+    )
     print(
         json.dumps(
             {
@@ -238,6 +244,7 @@ def bench_train(vit: bool = False, f8_stem: bool = False,
                 % ("ViT-MoE" if moe else ("ViT" if vit else "VQA"),
                    BATCH_SIZE, TRAIN_ITERS),
                 "vs_baseline": None,
+                "mfu": None if mfu is None else round(mfu, 4),
             }
         )
     )
@@ -263,6 +270,12 @@ def bench_latency(batch_size: int = 8, vit: bool = False,
         float(loss)
         times.append(time.perf_counter() - t0)
     ms_per_step = min(times) / ITERS * 1e3
+    from dl_vqa_tpu.utils import flops as flops_util
+
+    mfu = flops_util.mfu(
+        flops_util.eval_flops_per_sample(cfg),
+        batch_size / (ms_per_step / 1e3) / jax.device_count(),
+    )
     print(
         json.dumps(
             {
@@ -274,6 +287,7 @@ def bench_latency(batch_size: int = 8, vit: bool = False,
                    ("ViT-int8" if int8_vit else
                     ("ViT" if vit else "VQA"))),
                 "vs_baseline": None,
+                "mfu": None if mfu is None else round(mfu, 4),
             }
         )
     )
@@ -317,6 +331,11 @@ def main(vit: bool = False, f8_stem: bool = False,
     qa_per_sec_per_chip = batch_size * ITERS / elapsed / n_chips
     model_tag = ("ViT-MoE" if moe else
                  ("ViT-int8" if int8_vit else ("ViT" if vit else "VQA")))
+    from dl_vqa_tpu.utils import flops as flops_util
+
+    mfu = flops_util.mfu(
+        flops_util.eval_flops_per_sample(cfg), qa_per_sec_per_chip
+    )
     print(
         json.dumps(
             {
@@ -327,6 +346,7 @@ def main(vit: bool = False, f8_stem: bool = False,
                 "vs_baseline": round(
                     qa_per_sec_per_chip / BASELINE_QA_PER_SEC, 3
                 ),
+                "mfu": None if mfu is None else round(mfu, 4),
             }
         )
     )
@@ -425,6 +445,12 @@ def bench_e2e(vit: bool = False, moe: bool = False) -> None:
     epoch()  # warmup: compile + page in the store
     elapsed = min(epoch(), epoch())
     samples_per_sec = len(ds) / elapsed
+    from dl_vqa_tpu.utils import flops as flops_util
+
+    mfu = flops_util.mfu(
+        flops_util.train_flops_per_sample(cfg),
+        samples_per_sec / jax.device_count(),
+    )
     print(
         json.dumps(
             {
@@ -435,6 +461,7 @@ def bench_e2e(vit: bool = False, moe: bool = False) -> None:
                 % ("ViT-MoE" if moe else ("ViT" if vit else "VQA"),
                    len(ds), BATCH_SIZE),
                 "vs_baseline": None,
+                "mfu": None if mfu is None else round(mfu, 4),
             }
         )
     )

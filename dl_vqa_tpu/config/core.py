@@ -46,11 +46,17 @@ _SCI_FLOAT = __import__("re").compile(r"^[+-]?\d+(\.\d*)?[eE][+-]?\d+$")
 
 
 def _parse_value(raw: str) -> Any:
+    if raw == "":
+        return ""  # Hydra: `key=` assigns the empty string, not null
     try:
         value = yaml.safe_load(raw)
     except yaml.YAMLError:
-        # Bare '*', '|', etc. are YAML syntax errors; Hydra users mean the
+        # Bare '*', '-', etc. are YAML syntax errors; Hydra users mean the
         # literal string (e.g. train.attention.do_option=*).
+        return raw
+    if value == "" and raw.strip() != "":
+        # '|' / '|-' / '>' are YAML block-scalar indicators that parse to
+        # an EMPTY string; a Hydra user writing do_option=| means '|'.
         return raw
     # YAML 1.1 treats '5e-4' (no mantissa dot) as a string; Hydra users
     # expect a float. Only coerce when the input was UNQUOTED: an
@@ -61,18 +67,58 @@ def _parse_value(raw: str) -> Any:
 
 
 def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, Any]:
-    """Apply Hydra-style dotlist overrides (``train.image.stride=2``)."""
+    """Apply Hydra-style dotlist overrides (``train.image.stride=2``).
+
+    Hydra's override-grammar prefixes are honored (the reference's CLI
+    contract, ref ``main.py:26-27``):
+
+    * ``+key=value``  — append a key that must NOT already exist;
+    * ``++key=value`` — append or override unconditionally;
+    * ``~key`` / ``~key=value`` — delete the key (must exist).
+
+    Divergence from Hydra, documented: a bare ``key=value`` on a missing
+    key creates it rather than raising — the schema validation pass that
+    follows ``compose`` rejects keys outside the config contract, which
+    is where the reference's strictness lives (ref
+    ``utils/main_utils.py:72-78``).
+    """
     cfg = copy.deepcopy(cfg)
     for item in overrides:
-        if "=" not in item:
+        if item.startswith("~"):
+            dotted = item[1:].split("=", 1)[0].strip()
+            keys = dotted.split(".")
+            node = cfg
+            for key in keys[:-1]:
+                if not isinstance(node, dict) or key not in node:
+                    raise ValueError(
+                        f"Could not delete from config. '{dotted}' is not found"
+                    )
+                node = node[key]
+            if not isinstance(node, dict) or keys[-1] not in node:
+                raise ValueError(
+                    f"Could not delete from config. '{dotted}' is not found"
+                )
+            del node[keys[-1]]
+            continue
+        force_add = item.startswith("++")
+        append = not force_add and item.startswith("+")
+        body = item.lstrip("+")
+        if "=" not in body:
             raise ValueError(f"Override must be key=value, got {item!r}")
-        dotted, raw = item.split("=", 1)
+        dotted, raw = body.split("=", 1)
         node = cfg
         keys = dotted.strip().split(".")
         for key in keys[:-1]:
             if key not in node or not isinstance(node[key], dict):
                 node[key] = {}
             node = node[key]
+        if append and keys[-1] in node:
+            raise ValueError(
+                f"Could not append to config. An item is already at "
+                f"'{dotted.strip()}'. Either remove + prefix: "
+                f"'{dotted.strip()}={raw}', or add a second + to add or "
+                f"override the key: '+{item}'"
+            )
         node[keys[-1]] = _parse_value(raw)
     return cfg
 

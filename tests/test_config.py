@@ -143,3 +143,95 @@ def test_model_config_from_meta_dict_roundtrip():
     meta["image"]["future_field"] = 1
     meta["future_top"] = {"x": 2}
     assert ModelConfig.from_meta_dict(meta) == cfg
+
+
+# ---------------------------------------------------------------------------
+# Hydra override-grammar conformance (VERDICT r3 item 9)
+# ---------------------------------------------------------------------------
+# Pins `apply_overrides`'s value parsing and prefix semantics against the
+# Hydra behaviors the reference relies on (ref main.py:26-27, the Ax sweep
+# grammar at ref config/config.yaml:91-132), so the dependency-free
+# reimplementation (config/core.py) cannot silently drift.
+
+HYDRA_VALUE_TABLE = [
+    # (raw override value, expected parsed python value)
+    ("2", 2),                              # int
+    ("-3", -3),
+    ("0.5", 0.5),                          # float
+    ("5e-4", 5e-4),                        # sci float, no mantissa dot
+    ("1E3", 1e3),
+    ("true", True), ("false", False),      # yaml 1.1 booleans
+    ("True", True), ("False", False),
+    ("null", None),                        # explicit null
+    ("hello", "hello"),                    # bare word -> string
+    ("a b", "a b"),                        # spaces survive (shell-quoted)
+    ("'*'", "*"),                          # quoted punctuation (Ax sweeps)
+    ('"+"', "+"),
+    ("[1,2,3]", [1, 2, 3]),                # bracketed list
+    ("[3, 64, 128]", [3, 64, 128]),
+    ("[[1,2],[3]]", [[1, 2], [3]]),        # nested lists
+    ("['a','b']", ["a", "b"]),
+    ('"2e5"', "2e5"),                      # quoted sci stays a string
+    ("1,2", "1,2"),                        # comma sweep: a STRING here —
+                                           # only `-m` multirun expands it
+    ("*", "*"),                            # bare YAML-invalid punctuation
+    ("|", "|"),                            # block-scalar indicator -> literal
+    ("", ""),                              # `key=` assigns empty string
+]
+
+
+def test_hydra_value_grammar_table():
+    from dl_vqa_tpu.config.core import _parse_value
+
+    for raw, expected in HYDRA_VALUE_TABLE:
+        assert _parse_value(raw) == expected, raw
+
+
+def test_hydra_append_prefix_adds_new_key():
+    from dl_vqa_tpu.config.core import apply_overrides
+
+    cfg = apply_overrides({"a": {"b": 1}}, ["+a.c=2"])
+    assert cfg["a"] == {"b": 1, "c": 2}
+
+
+def test_hydra_append_prefix_rejects_existing_key():
+    from dl_vqa_tpu.config.core import apply_overrides
+
+    with pytest.raises(ValueError, match="already at 'a.b'"):
+        apply_overrides({"a": {"b": 1}}, ["+a.b=2"])
+
+
+def test_hydra_force_append_prefix_overrides():
+    from dl_vqa_tpu.config.core import apply_overrides
+
+    cfg = apply_overrides({"a": {"b": 1}}, ["++a.b=2", "++a.c=3"])
+    assert cfg["a"] == {"b": 2, "c": 3}
+
+
+def test_hydra_delete_prefix():
+    from dl_vqa_tpu.config.core import apply_overrides
+
+    cfg = apply_overrides({"a": {"b": 1, "c": 2}}, ["~a.b"])
+    assert cfg["a"] == {"c": 2}
+    # `~key=value` form also deletes (value ignored, as in Hydra).
+    cfg = apply_overrides({"a": {"b": 1}}, ["~a.b=1"])
+    assert cfg["a"] == {}
+
+
+def test_hydra_delete_prefix_missing_key_raises():
+    from dl_vqa_tpu.config.core import apply_overrides
+
+    with pytest.raises(ValueError, match="is not found"):
+        apply_overrides({"a": {}}, ["~a.b"])
+
+
+def test_hydra_multirun_comma_sweep_expands_in_sweeper():
+    """`-m k=a,b` comma sweeps expand to the cartesian grid in the
+    sweeper (Hydra multirun semantics); single-run leaves them alone."""
+    import sweep
+
+    space = sweep.parse_space(
+        ["train.image.stride=1,2", "train.attention.do_option='+','*'"]
+    )
+    assert space["train.image.stride"] == [1, 2]
+    assert space["train.attention.do_option"] == ["+", "*"]
