@@ -18,6 +18,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -33,6 +34,29 @@ BATCH_SIZE = 512
 POOL = 4          # distinct staged batches, cycled
 ITERS = 50        # eval steps per timed run
 CAL_BATCH = 64    # PTQ calibration sample for the int8 modes
+
+
+def _tiny_replace(cfg):
+    """CI scale-down hook: with DL_VQA_BENCH_TINY=1 every bench mode runs
+    the same code paths on a toy model so the harness itself is testable
+    on CPU (tests/test_bench.py). Production numbers REQUIRE the default
+    reference scale — never set this when recording measurements."""
+    import dataclasses
+
+    image = dataclasses.replace(
+        cfg.image,
+        num_channels=(3, 32) if cfg.image.encoder == "vit" else (3, 8, 16, 32),
+        num_layers=2,
+    )
+    text = dataclasses.replace(
+        cfg.text, question_features=32, embedding_features=16
+    )
+    return dataclasses.replace(
+        cfg, image=image, text=text, image_size=32, num_tokens=199,
+        max_answers=50,
+        attention=dataclasses.replace(cfg.attention, hidden_dim=24),
+        classifier=dataclasses.replace(cfg.classifier, hidden_dim=32),
+    )
 
 
 def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False,
@@ -79,6 +103,8 @@ def build(vit: bool = False, f8_stem: bool = False, int8_stem: bool = False,
         cfg = dataclasses.replace(
             cfg, image=dataclasses.replace(cfg.image, store_dtype="f8e4m3")
         )
+    if os.environ.get("DL_VQA_BENCH_TINY"):
+        cfg = _tiny_replace(cfg)
     params = vqa.init(jax.random.PRNGKey(0), cfg)
     if int8_stem:
         # Opt-in W8A8 serving mode (`--int8-stem`): s8xs8->s32 MXU convs
@@ -226,9 +252,10 @@ def bench_train(vit: bool = False, f8_stem: bool = False,
         float(acc)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
-    samples_per_sec = (
-        BATCH_SIZE * TRAIN_ITERS / elapsed / jax.device_count()
-    )
+    # The staged pool is a plain (unsharded) device_put, so the jitted
+    # loop runs on ONE device regardless of host device count — the
+    # throughput is already per-chip (don't divide by device_count()).
+    samples_per_sec = BATCH_SIZE * TRAIN_ITERS / elapsed
     from dl_vqa_tpu.utils import flops as flops_util
 
     mfu = flops_util.mfu(
@@ -272,9 +299,11 @@ def bench_latency(batch_size: int = 8, vit: bool = False,
     ms_per_step = min(times) / ITERS * 1e3
     from dl_vqa_tpu.utils import flops as flops_util
 
+    # Single-device staging (plain device_put): the step's throughput is
+    # already per-chip — no device_count() normalization.
     mfu = flops_util.mfu(
         flops_util.eval_flops_per_sample(cfg),
-        batch_size / (ms_per_step / 1e3) / jax.device_count(),
+        batch_size / (ms_per_step / 1e3),
     )
     print(
         json.dumps(
@@ -424,6 +453,13 @@ def bench_e2e(vit: bool = False, moe: bool = False) -> None:
             cfg,
             image=dataclasses.replace(cfg.image, moe_experts=8, moe_top_k=2),
         )
+    if os.environ.get("DL_VQA_BENCH_TINY"):
+        # Shrink the net but keep the dataset-bound fields (vocab size,
+        # answer space, corpus image size) so the real pipeline still fits.
+        cfg = dataclasses.replace(
+            _tiny_replace(cfg), num_tokens=ds.num_tokens,
+            max_answers=1000, image_size=image_size,
+        )
     params = vqa.init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(5e-4)
     state = create_train_state(params, tx)
@@ -447,9 +483,14 @@ def bench_e2e(vit: bool = False, moe: bool = False) -> None:
     samples_per_sec = len(ds) / elapsed
     from dl_vqa_tpu.utils import flops as flops_util
 
+    # Unsharded jit step: one device does the work, so the epoch
+    # throughput is already the per-chip number; use the corpus' actual
+    # question pad length rather than the reference default.
     mfu = flops_util.mfu(
-        flops_util.train_flops_per_sample(cfg),
-        samples_per_sec / jax.device_count(),
+        flops_util.train_flops_per_sample(
+            cfg, seq_len=ds.max_question_length
+        ),
+        samples_per_sec,
     )
     print(
         json.dumps(

@@ -45,18 +45,23 @@ def load_yaml(name_or_path: str) -> Dict[str, Any]:
 _SCI_FLOAT = __import__("re").compile(r"^[+-]?\d+(\.\d*)?[eE][+-]?\d+$")
 
 
+_BLOCK_SCALAR_INDICATORS = {"|", "|-", "|+", ">", ">-", ">+"}
+
+
 def _parse_value(raw: str) -> Any:
     if raw == "":
         return ""  # Hydra: `key=` assigns the empty string, not null
+    if raw.strip() in _BLOCK_SCALAR_INDICATORS:
+        # '|' / '|-' / '>' are YAML block-scalar indicators that parse to
+        # an EMPTY string; a Hydra user writing do_option=| means '|'.
+        # Matched explicitly so quoted empties (key='' / key="") still
+        # yield "" as Hydra/YAML do.
+        return raw
     try:
         value = yaml.safe_load(raw)
     except yaml.YAMLError:
         # Bare '*', '-', etc. are YAML syntax errors; Hydra users mean the
         # literal string (e.g. train.attention.do_option=*).
-        return raw
-    if value == "" and raw.strip() != "":
-        # '|' / '|-' / '>' are YAML block-scalar indicators that parse to
-        # an EMPTY string; a Hydra user writing do_option=| means '|'.
         return raw
     # YAML 1.1 treats '5e-4' (no mantissa dot) as a string; Hydra users
     # expect a float. Only coerce when the input was UNQUOTED: an
@@ -73,8 +78,10 @@ def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, 
     contract, ref ``main.py:26-27``):
 
     * ``+key=value``  — append a key that must NOT already exist;
-    * ``++key=value`` — append or override unconditionally;
-    * ``~key`` / ``~key=value`` — delete the key (must exist).
+    * ``++key=value`` — append or override unconditionally (exactly two
+      ``+`` — three or more raise, as in Hydra);
+    * ``~key`` / ``~key=value`` — delete the key (must exist; when a
+      value is supplied it must equal the current value, as in Hydra).
 
     Divergence from Hydra, documented: a bare ``key=value`` on a missing
     key creates it rather than raising — the schema validation pass that
@@ -85,7 +92,9 @@ def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, 
     cfg = copy.deepcopy(cfg)
     for item in overrides:
         if item.startswith("~"):
-            dotted = item[1:].split("=", 1)[0].strip()
+            body = item[1:]
+            dotted, _, raw = body.partition("=")
+            dotted = dotted.strip()
             keys = dotted.split(".")
             node = cfg
             for key in keys[:-1]:
@@ -98,11 +107,27 @@ def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, 
                 raise ValueError(
                     f"Could not delete from config. '{dotted}' is not found"
                 )
+            if "=" in body:
+                # Hydra validates the supplied value against the current
+                # node and refuses a mismatched delete.
+                expected = _parse_value(raw)
+                current = node[keys[-1]]
+                if current != expected:
+                    raise ValueError(
+                        f"Could not delete from config. The value of "
+                        f"'{dotted}' is {current!r} and not {expected!r}"
+                    )
             del node[keys[-1]]
             continue
         force_add = item.startswith("++")
         append = not force_add and item.startswith("+")
-        body = item.lstrip("+")
+        body = item[2:] if force_add else (item[1:] if append else item)
+        if body.startswith("+"):
+            raise ValueError(
+                f"Invalid override prefix in {item!r}: at most two leading "
+                f"'+' are allowed (+key=value to append, ++key=value to "
+                f"append-or-override)"
+            )
         if "=" not in body:
             raise ValueError(f"Override must be key=value, got {item!r}")
         dotted, raw = body.split("=", 1)

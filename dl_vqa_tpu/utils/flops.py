@@ -8,6 +8,11 @@ convs only — elementwise, softmax, and normalization work is excluded),
 plus the peak bf16 FLOP/s of the local accelerator, so the bench can
 report ``mfu = achieved_flops_per_sec / peak``.
 
+Quantized modes (f8 stem, int8 W8A8) are rated against the *bf16* peak:
+the model FLOP count is dtype-independent, so their MFU is an
+"effective-bf16" utilization and can exceed the bf16-bound roofline
+share without implying >100% hardware utilization.
+
 Reference model anatomy: conv stack ref ``models/model.py:72-84``,
 bi-LSTM ref ``models/model.py:134-166``, attention ref
 ``models/model.py:169-221``, classifier ref ``models/model.py:198-205``.
@@ -82,12 +87,40 @@ def eval_flops_per_sample(cfg, seq_len: int = DEFAULT_SEQ_LEN) -> float:
 
     att = cfg.attention
     hw = grid * grid
-    n_fusions = 2 if att.variant in ("stacked", "co") else 1
-    f += n_fusions * (
-        2.0 * hw * att.hidden_dim * cv          # x_conv 1x1
-        + 2.0 * att.hidden_dim * q_dim          # q_lin
-        + 2.0 * hw * att.glimpses * att.hidden_dim  # glimpse-logit 1x1
-    )
+    mid, glimpses = att.hidden_dim, att.glimpses
+    # '|' fuses by channel concat, doubling the score-conv input width
+    # (ref models/model.py:183-195; models/vqa.py:148, fusion.py:43,125).
+    x_in = 2 * mid if att.do_option == "|" else mid
+    if att.variant == "single":
+        f += (
+            2.0 * hw * mid * cv          # x_conv 1x1 projection
+            + 2.0 * mid * q_dim          # q_lin
+            + 2.0 * hw * glimpses * x_in  # glimpse-logit 1x1
+        )
+    elif att.variant == "stacked":
+        # One shared v_proj/q_lin pass, then per glimpse a width-1 score
+        # conv and (between glimpses) an update linear (fusion.py:63-116).
+        f += (
+            2.0 * hw * mid * cv
+            + 2.0 * mid * q_dim
+            + glimpses * 2.0 * hw * x_in          # score convs (1 out ch)
+            + (glimpses - 1) * 2.0 * cv * mid     # update linears
+        )
+    elif att.variant == "co":
+        # Image side mirrors 'single'; the token side attends over
+        # seq_len question tokens, not hw image positions
+        # (fusion.py:140-211; token_features == q_dim per vqa.py init).
+        f += (
+            2.0 * hw * mid * cv
+            + 2.0 * mid * q_dim
+            + 2.0 * hw * glimpses * x_in
+            + 2.0 * cv * mid                      # vsum_lin
+            + 2.0 * seq_len * q_dim * mid         # tok_lin
+            + 2.0 * q_dim * q_dim                 # tok_out
+        )
+    else:
+        # Unknown variant: cost as 'single' so MFU stays defined.
+        f += 2.0 * hw * mid * cv + 2.0 * mid * q_dim + 2.0 * hw * glimpses * x_in
 
     combined = att.glimpses * cv + q_dim
     f += 2.0 * (

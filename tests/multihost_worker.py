@@ -37,6 +37,21 @@ def main() -> None:
                     help="after training, save a coordinator-gated "
                          "checkpoint here (non-coordinators mirror with "
                          "host_snapshot) and report its content sums")
+    ap.add_argument("--train-loop", action="store_true",
+                    help="drive the REAL train/loop.py::train (incl. "
+                         "rolling crash-recovery checkpoints) instead of "
+                         "the raw-step pipeline")
+    ap.add_argument("--exp-dir", default="",
+                    help="train-loop mode: logger/checkpoint directory")
+    ap.add_argument("--checkpoint-every-steps", type=int, default=0)
+    ap.add_argument("--resume", default="",
+                    help="train-loop mode: restore full train state from "
+                         "this rolling checkpoint before training")
+    ap.add_argument("--kill-rank", type=int, default=-1,
+                    help="fault injection: this rank hard-exits "
+                         "(os._exit(1), no shutdown) right after its "
+                         "first MID-EPOCH rolling checkpoint is durably "
+                         "on disk — simulates losing one host of the pod")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -159,6 +174,86 @@ def main() -> None:
         train_table, eval_table = tables["train"], tables["eval"]
 
     params = vqa.init(jax.random.PRNGKey(0), cfg)
+
+    if args.train_loop:
+        # ---- real train/loop.py path: rolling checkpoints + resume ----
+        from dl_vqa_tpu.train.loop import TrainParams, train
+        from dl_vqa_tpu.utils import checkpoint as ckpt_mod
+
+        if args.kill_rank >= 0:
+            # Fault injection: the coordinator owns the rolling npz write,
+            # so the kill is armed there — right AFTER the first mid-epoch
+            # save is durably on disk (deterministic crash point).
+            assert args.kill_rank == 0, "kill-rank must be the coordinator"
+            if jax.process_index() == args.kill_rank:
+                real_async = ckpt_mod.save_checkpoint_async
+
+                def tripwire(path, state_, **kw):
+                    real_async(path, state_, **kw)
+                    if "batch_in_epoch" in (kw.get("extra_meta") or {}):
+                        ckpt_mod.wait_for_async_saves()
+                        sys.stdout.flush()
+                        os._exit(1)  # hard host loss: no shutdown, no except
+
+                ckpt_mod.save_checkpoint_async = tripwire
+
+        class LoopLogger:
+            def __init__(self, exp_dir):
+                self.exp_dir = exp_dir
+                self.epoch_stats = []
+
+            def write(self, *a, **k):
+                pass
+
+            def write_epoch_statistics(self, **kw):
+                self.epoch_stats.append(
+                    {k: float(v) for k, v in kw.items()}
+                )
+
+            def report_scalars(self, scalars, epoch):
+                pass
+
+            def report_scalars_same_plot(self, scalars, epoch):
+                pass
+
+            def save_model(self, state_, epoch, model_cfg=None,
+                           extra_meta=None):
+                # Best-checkpoint saves aren't under test here; mirror the
+                # snapshot walk so sharded-leaf gathers stay symmetric.
+                ckpt_mod.host_snapshot(state_)
+
+        os.makedirs(args.exp_dir, exist_ok=True)
+        logger = LoopLogger(args.exp_dir)
+        tp = TrainParams(n_epochs_stop=50, num_epochs=args.epochs, lr=1e-3,
+                         lr_decay=0.0, lr_gamma=0.0, lr_step_size=1,
+                         save_model=True, max_answers=cfg.max_answers)
+        metrics = train(
+            cfg, params, train_batcher, eval_batcher, tp, logger,
+            opt_restore_path=args.resume or None,
+            compute_dtype=jnp.float32, seed=1, batch_sharding=bsh,
+            checkpoint_every_steps=args.checkpoint_every_steps,
+        )
+        ckpt_mod.wait_for_async_saves()
+        multihost.barrier("train-loop-done")
+        flat, meta = ckpt_mod.load_checkpoint(
+            os.path.join(args.exp_dir, "last.ckpt")
+        )
+        print(json.dumps({
+            "pid": jax.process_index(),
+            "procs": jax.process_count(),
+            "devices": jax.device_count(),
+            "epoch_stats": logger.epoch_stats,
+            "metrics": metrics,
+            "ckpt_epoch": meta.get("epoch"),
+            "ckpt_sum": float(sum(
+                np.asarray(v, dtype=np.float64).sum()
+                for v in flat.values()
+            )),
+            "ckpt_numel": int(sum(v.size for v in flat.values())),
+        }))
+        sys.stdout.flush()
+        return
+
     tx = make_optimizer(1e-3)
     state = create_train_state(params, tx)
     if args.model_axis > 1:

@@ -176,7 +176,10 @@ HYDRA_VALUE_TABLE = [
                                            # only `-m` multirun expands it
     ("*", "*"),                            # bare YAML-invalid punctuation
     ("|", "|"),                            # block-scalar indicator -> literal
+    ("|-", "|-"), (">", ">"),              # the other block-scalar forms
     ("", ""),                              # `key=` assigns empty string
+    ("''", ""),                            # quoted empty -> empty string
+    ('""', ""),                            # (Hydra/YAML semantics)
 ]
 
 
@@ -213,9 +216,19 @@ def test_hydra_delete_prefix():
 
     cfg = apply_overrides({"a": {"b": 1, "c": 2}}, ["~a.b"])
     assert cfg["a"] == {"c": 2}
-    # `~key=value` form also deletes (value ignored, as in Hydra).
+    # `~key=value` deletes only when the value matches the current node
+    # (Hydra validates and raises on mismatch).
     cfg = apply_overrides({"a": {"b": 1}}, ["~a.b=1"])
     assert cfg["a"] == {}
+    with pytest.raises(ValueError, match="is 1 and not 2"):
+        apply_overrides({"a": {"b": 1}}, ["~a.b=2"])
+
+
+def test_hydra_triple_plus_prefix_rejected():
+    from dl_vqa_tpu.config.core import apply_overrides
+
+    with pytest.raises(ValueError, match="at most two leading"):
+        apply_overrides({"a": {"b": 1}}, ["+++a.b=2"])
 
 
 def test_hydra_delete_prefix_missing_key_raises():

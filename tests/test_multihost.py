@@ -223,6 +223,130 @@ def test_device_image_cache_across_processes(layout):
     )
 
 
+def _launch_cluster(n_procs, local_devices, extra_args, timeout=420,
+                    expect_fail_ranks=()):
+    """Start n_procs coordinated workers; return their parsed JSON lines.
+    Ranks in expect_fail_ranks may exit non-zero (fault injection); once
+    one of them has died, surviving ranks that block on the torn fabric
+    are reaped (kill by tracked Popen handle — cleanup, not the fault)."""
+    port = _free_port()
+    env = _env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "--procs", str(n_procs), "--pid",
+             str(pid), "--port", str(port), "--local-devices",
+             str(local_devices), *extra_args],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO, env=env,
+        )
+        for pid in range(n_procs)
+    ]
+    outs = {}
+    try:
+        for pid in expect_fail_ranks:
+            procs[pid].wait(timeout=timeout)
+            assert procs[pid].returncode != 0
+        for pid, p in enumerate(procs):
+            if pid in expect_fail_ranks:
+                continue
+            try:
+                out, err = p.communicate(
+                    timeout=30 if expect_fail_ranks else timeout
+                )
+            except subprocess.TimeoutExpired:
+                if not expect_fail_ranks:
+                    raise
+                p.kill()  # survivor blocked on the dead peer's collective
+                p.communicate()
+                continue
+            if expect_fail_ranks:
+                continue  # survivors' exit state is not under test
+            assert p.returncode == 0, f"rank {pid} failed:\n{out}\n{err}"
+            outs[pid] = json.loads(out.strip().splitlines()[-1])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return [outs[pid] for pid in sorted(outs)]
+
+
+def test_multihost_crash_recovery_resumes_exactly(tmp_path):
+    """VERDICT r4 item 4: lose one host of a 2-process pod mid-epoch
+    (the coordinator hard-exits right after its first in-epoch rolling
+    save lands), restart the whole job from last.ckpt, and the resumed
+    trajectory — per-epoch metrics AND final full train state — must be
+    identical to an uninterrupted 2-process run."""
+    from dl_vqa_tpu.utils import checkpoint as ckpt
+
+    loop_args = ["--train-loop", "--epochs", "2",
+                 "--checkpoint-every-steps", "2"]
+
+    def stats(run):  # drop wall-clock noise from the comparison
+        return [
+            {k: v for k, v in s.items() if k != "epoch_time"}
+            for s in run["epoch_stats"]
+        ]
+
+    # Uninterrupted ground truth.
+    ref_dir = str(tmp_path / "ref")
+    ref0, ref1 = _launch_cluster(
+        2, 4, loop_args + ["--exp-dir", ref_dir]
+    )
+    assert stats(ref0) == stats(ref1)
+
+    # Crash: rank 0 dies after the batch-2 save of epoch 0; rank 1 is
+    # left blocked on the torn collective fabric and gets reaped.
+    crash_dir = str(tmp_path / "crash")
+    _launch_cluster(
+        2, 4, loop_args + ["--exp-dir", crash_dir, "--kill-rank", "0"],
+        expect_fail_ranks=(0,),
+    )
+    last = os.path.join(crash_dir, "last.ckpt")
+    assert os.path.exists(last)
+    _, meta = ckpt.load_checkpoint(last)
+    assert meta.get("batch_in_epoch") == 2  # mid-epoch save, not end-of-epoch
+    assert meta.get("epoch") == 0
+
+    # Restart the full pod from the rolling checkpoint.
+    res0, res1 = _launch_cluster(
+        2, 4, loop_args + ["--exp-dir", crash_dir, "--resume", last]
+    )
+    assert stats(res0) == stats(res1)
+
+    # The resumed run re-reports the interrupted epoch (carried partial
+    # sums) then the rest; stats and final state must match exactly.
+    assert len(res0["epoch_stats"]) == len(ref0["epoch_stats"])
+    for got, want in zip(stats(res0), stats(ref0)):
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-6, abs=1e-7), k
+    assert res0["ckpt_numel"] == ref0["ckpt_numel"]
+    assert res0["ckpt_sum"] == pytest.approx(ref0["ckpt_sum"], rel=1e-9)
+    assert res0["metrics"] == pytest.approx(ref0["metrics"], rel=1e-6)
+
+
+def test_four_process_matches_single_process():
+    """4-process variant of the equivalence tier: 4 gloo ranks x 2 local
+    devices over one global 8-device mesh reproduce the single-process
+    8-device run per step (VERDICT r4 item 4)."""
+    single = _run_worker(
+        ["--procs", "1", "--local-devices", "8", "--epochs", "1"]
+    )
+    outs = _launch_cluster(
+        4, 2, ["--epochs", "1"]
+    )
+    assert [o["procs"] for o in outs] == [4] * 4
+    assert all(o["devices"] == 8 for o in outs)
+    for o in outs[1:]:
+        assert o["losses"] == outs[0]["losses"]
+        assert o["eval_score"] == outs[0]["eval_score"]
+    np.testing.assert_allclose(outs[0]["losses"], single["losses"],
+                               rtol=1e-5, atol=1e-6)
+    assert outs[0]["eval_score"] == pytest.approx(
+        single["eval_score"], abs=1e-4
+    )
+
+
 def test_maybe_initialize_env_handling(monkeypatch):
     """The 'auto' opt-in must not leak the literal string to jax (which
     falls back to the env var), and partial manual config must pass None
