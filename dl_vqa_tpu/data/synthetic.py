@@ -56,6 +56,85 @@ def _image_attrs(image_id: int, seed: int) -> Dict[str, object]:
     }
 
 
+# ---- hard mode (learnable="hard"): a LOWER-ceiling task for accuracy-
+# sensitivity measurements (VERDICT r4 item 3 — the 99.6%-ceiling easy
+# task cannot surface quantization damage). Three properties matter:
+#   * fine-grained classes whose pixel evidence is small relative to the
+#     render noise (12 hue bins ~30 degrees apart under sigma~0.55-bin
+#     hue jitter; 3 size bins with continuous sizes near the edges), so
+#     the Bayes ceiling is well below 100% and activation precision in
+#     the stem carries real information;
+#   * more classes overall (12 hues + 9 counts + 3 sizes = 24 targets
+#     vs the easy task's 12);
+#   * lower annotator agreement (0.75 vs 0.9), softening the targets.
+
+_HUE_BINS = 12
+_HUE_NAMES = [f"hue{i}" for i in range(_HUE_BINS)]
+_SIZE_EDGES = (0.055, 0.085)            # fractions of image height
+_SIZE_NAMES = ("small", "medium", "large")
+_HUE_NOISE = 0.75 / _HUE_BINS           # sigma of the rendered-hue jitter
+_SIZE_NOISE = 0.008                     # sigma of the rendered-size jitter
+_MAX_COUNT = 8
+
+
+def _hard_image_attrs(image_id: int, seed: int) -> Dict[str, object]:
+    rng = random.Random((seed << 21) ^ (image_id * 2654435761))
+    hue_bin = rng.randrange(_HUE_BINS)
+    # The RENDERED hue is jittered around the bin center; adjacent bins
+    # genuinely overlap, capping attainable hue accuracy.
+    hue = ((hue_bin + 0.5) / _HUE_BINS + rng.gauss(0.0, _HUE_NOISE)) % 1.0
+    size_frac = rng.uniform(0.03, 0.115)
+    size_bin = sum(size_frac > e for e in _SIZE_EDGES)
+    return {
+        "hue_bin": hue_bin,
+        "hue": hue,
+        "count": rng.randint(0, _MAX_COUNT),
+        "size_frac": size_frac,
+        # The RENDERED size is jittered too, so sizes near a bin edge
+        # are genuinely ambiguous from pixels.
+        "render_size_frac": max(0.015, size_frac + rng.gauss(0.0, _SIZE_NOISE)),
+        "size_bin": size_bin,
+        "layout_seed": rng.randrange(1 << 30),
+    }
+
+
+def _hard_qa(attrs: Dict[str, object], rng: random.Random):
+    kind = rng.choice(("hue", "count", "size"))
+    pre = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(0, 2)))
+    if kind == "hue":
+        text, ans, atype = (
+            "what shade is the background", _HUE_NAMES[attrs["hue_bin"]],
+            "other",
+        )
+    elif kind == "count":
+        text, ans, atype = (
+            "how many squares", str(attrs["count"]), "number"
+        )
+    else:
+        text, ans, atype = (
+            "what size are the squares", _SIZE_NAMES[attrs["size_bin"]],
+            "other",
+        )
+    full = (pre + " " + text).strip() + "?"
+    return full, ans, atype
+
+
+def _hard_neighbor(answer: str, rng: random.Random) -> str:
+    """A plausible annotator confusion for a hard-task answer: the
+    adjacent hue bin / count / size class (disagreeing annotators pick
+    neighbors, not arbitrary words — this is what spreads the soft
+    targets onto the confusable classes)."""
+    step = rng.choice((-1, 1))
+    if answer.startswith("hue"):
+        return _HUE_NAMES[(int(answer[3:]) + step) % _HUE_BINS]
+    if answer.isdigit():
+        return str(min(max(int(answer) + step, 0), _MAX_COUNT))
+    if answer in _SIZE_NAMES:
+        i = _SIZE_NAMES.index(answer)
+        return _SIZE_NAMES[min(max(i + step, 0), len(_SIZE_NAMES) - 1)]
+    return answer
+
+
 def _learnable_qa(attrs: Dict[str, object], rng: random.Random):
     """One (question_text, answer, answer_type) for an image."""
     kind = rng.choice(("color", "count", "bright"))
@@ -76,7 +155,7 @@ def generate_vqa_split(
     n_images: int,
     seed: int = 0,
     data_subtype: str = "train2014",
-    learnable: bool = False,
+    learnable: "bool | str" = False,
     attr_seed: int = 0,
 ) -> Tuple[dict, dict, List[int]]:
     """Return (questions_json, annotations_json, image_ids).
@@ -91,7 +170,15 @@ def generate_vqa_split(
     questions, annotations = [], []
     for qid in range(n_questions):
         image_id = rng.choice(image_ids)
-        if learnable:
+        if learnable == "hard":
+            attrs = _hard_image_attrs(image_id, attr_seed)
+            text, main_answer, _ = _hard_qa(attrs, rng)
+            if text.endswith("size are the squares?") and attrs["count"] == 0:
+                # no squares rendered: a size question has no evidence;
+                # ask the (answerable) count question instead
+                text, main_answer = "how many squares?", "0"
+            conc = 0.75  # lower agreement: softer targets, lower ceiling
+        elif learnable:
             # answer_type is re-derived from the answer below, same as
             # the random branch (colors -> other, digits -> number).
             text, main_answer, _ = _learnable_qa(
@@ -107,9 +194,15 @@ def generate_vqa_split(
         questions.append(
             {"question_id": qid, "image_id": image_id, "question": text}
         )
+        def _disagreement():
+            if learnable == "hard":
+                return _hard_neighbor(main_answer, rng)
+            return rng.choice(_ANSWERS)
+
         answers = [
             {
-                "answer": main_answer if rng.random() < conc else rng.choice(_ANSWERS),
+                "answer": main_answer if rng.random() < conc
+                else _disagreement(),
                 "answer_confidence": "yes",
                 "answer_id": k + 1,
             }
@@ -148,7 +241,7 @@ def generate_coco_images(
     size: Tuple[int, int] = (320, 240),
     seed: int = 0,
     data_subtype: str = "train2014",
-    learnable: bool = False,
+    learnable: "bool | str" = False,
 ) -> None:
     """Write random JPEGs with COCO filenames into ``image_dir``.
 
@@ -163,7 +256,27 @@ def generate_coco_images(
     rng = np.random.default_rng(seed)
     w, h = size
     for img_id in image_ids:
-        if learnable:
+        if learnable == "hard":
+            import colorsys
+
+            attrs = _hard_image_attrs(img_id, seed)
+            base = np.array(
+                colorsys.hsv_to_rgb(attrs["hue"], 0.65, 0.75),
+                dtype=np.float32,
+            ) * 255.0
+            arr = base[None, None, :] + rng.normal(
+                0.0, 26.0, size=(h, w, 3)
+            )
+            sq = max(4, int(round(attrs["render_size_frac"] * h)))
+            lay = np.random.default_rng(attrs["layout_seed"])
+            for _ in range(attrs["count"]):
+                # random placement WITH possible overlap/abutment:
+                # occlusion makes counting genuinely hard
+                y0 = int(lay.integers(0, max(1, h - sq)))
+                x0 = int(lay.integers(0, max(1, w - sq)))
+                arr[y0:y0 + sq, x0:x0 + sq] = float(lay.integers(110, 146))
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        elif learnable:
             attrs = _image_attrs(img_id, seed)
             base = np.array(_COLOR_RGB[attrs["color"]], dtype=np.float32)
             scale = 1.0 if attrs["bright"] else 0.45
@@ -190,7 +303,7 @@ def make_synthetic_corpus(
     central_fraction: float = 0.875,
     max_answers: int = 20,
     seed: int = 0,
-    learnable: bool = False,
+    learnable: "bool | str" = False,
 ) -> Dict[str, str]:
     """Build a complete miniature VQA corpus under ``root``.
 
@@ -280,9 +393,12 @@ if __name__ == "__main__":
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument("--max-answers", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--learnable", action="store_true",
+    parser.add_argument("--learnable", nargs="?", const=True, default=False,
+                        choices=[True, False, "hard"],
                         help="answers derivable from pixels + question "
-                             "words (training can converge)")
+                             "words (training can converge); pass "
+                             "'--learnable hard' for the lower-ceiling "
+                             "fine-grained task")
     args = parser.parse_args()
     profile = make_synthetic_corpus(
         args.root, n_train=args.n_train, n_val=args.n_val,

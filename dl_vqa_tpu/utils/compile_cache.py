@@ -19,8 +19,52 @@ import os
 _DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 
 
+def _platform_env() -> str:
+    """Best-effort platform resolution WITHOUT initializing jax backends
+    (enable() runs at import time): the explicit override, else
+    JAX_PLATFORMS. Returns '' when undetermined (e.g. plugin-forced TPU)."""
+    return (
+        os.environ.get("DL_VQA_PLATFORM")
+        or os.environ.get("JAX_PLATFORMS", "")
+    ).split(",")[0].strip().lower()
+
+
+def _host_fingerprint() -> str:
+    """Short digest of the host CPU's identity + the XLA flag environment
+    — the two inputs that make a cached XLA:CPU executable non-portable."""
+    import hashlib
+    import platform as plat
+
+    txt = plat.machine() + "\0" + os.environ.get("XLA_FLAGS", "")
+    try:
+        with open("/proc/cpuinfo") as fd:
+            for line in fd:
+                if line.startswith(("flags", "Features")):
+                    txt += "\0" + line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(txt.encode()).hexdigest()[:10]
+
+
+def apply_platform_override() -> None:
+    """Honor ``DL_VQA_PLATFORM=cpu|tpu``: on managed TPU hosts a plugin
+    ``sitecustomize`` programmatically forces the TPU platform, so the
+    standard ``JAX_PLATFORMS`` env var is silently ignored there —
+    ``jax.config.update`` after import wins over both (the same trick
+    ``tests/conftest.py`` uses). Lets any entry point run on CPU for
+    debugging/verification when the TPU (or its relay) is unavailable."""
+    platform = os.environ.get("DL_VQA_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def enable(cache_dir: str | None = None) -> str:
-    """Point JAX at an on-disk compilation cache (idempotent).
+    """Point JAX at an on-disk compilation cache (idempotent), honoring
+    the ``DL_VQA_PLATFORM`` override first (every entry point routes
+    through this call before touching a backend).
 
     The directory defaults to ``<repo>/.jax_cache`` and can be overridden
     via the ``DL_VQA_COMPILE_CACHE`` environment variable (set it to the
@@ -28,12 +72,23 @@ def enable(cache_dir: str | None = None) -> str:
     """
     import jax
 
+    apply_platform_override()
+
     env = os.environ.get("DL_VQA_COMPILE_CACHE")
     # An explicit argument wins over the environment: the empty-string
     # env var disables only the DEFAULT cache location.
     if env == "" and cache_dir is None:
         return ""
     path = os.path.abspath(cache_dir or env or _DEFAULT_DIR)
+    if _platform_env() == "cpu":
+        # XLA:CPU cache entries are AOT machine code whose cache key does
+        # NOT cover the compile-time machine features; loading an entry
+        # written on another host (or under different XLA flags) is
+        # accepted with a warning and can execute INCORRECTLY — observed
+        # as silent NaN outputs from a cross-host entry (round 5). TPU
+        # entries are target-keyed serialized programs and safe to share,
+        # so only the CPU backend gets a per-host/per-flags namespace.
+        path = os.path.join(path, f"cpu-{_host_fingerprint()}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # Anything that takes >1 s to compile is worth persisting: the relay

@@ -73,20 +73,27 @@ def get_dataset(split: str, root: str) -> VQADataset:
     return ds
 
 
-def main(epochs: int = 12) -> None:
+def main(epochs: int = 12, hard: bool = False) -> None:
     on_tpu = jax.default_backend() == "tpu"
     n_train, n_val, n_images, image_size = (
         (20_000, 4_000, 1_500, 224) if on_tpu else (512, 256, 64, 64)
     )
-    root = f"/tmp/dl_vqa_f8acc_learnable_{n_train}_{image_size}"
+    # --hard (VERDICT r4 item 3): the LOWER-ceiling fine-grained task
+    # (12 noisy hue bins, 0-8 occluding squares, continuous size bins,
+    # 0.75 annotator agreement — synthetic.py "hard mode") so the
+    # quantized modes are measured where accuracy has headroom to lose,
+    # instead of against the easy task's 99.6% ceiling.
+    task = "hard" if hard else True
+    tag = "hard" if hard else "learnable"
+    root = f"/tmp/dl_vqa_f8acc_{tag}_{n_train}_{image_size}"
     if not os.path.exists(os.path.join(root, "vocab.json")):
         print(f"building corpus at {root} ...", flush=True)
-        # learnable=True: answers are a function of pixels + question
+        # learnable: answers are a function of pixels + question
         # words, so training CONVERGES and the quantization delta is
         # measured against real accuracy, not the answer prior.
         synthetic.make_synthetic_corpus(
             root, n_train=n_train, n_val=n_val, n_images=n_images,
-            image_size=image_size, max_answers=1000, learnable=True,
+            image_size=image_size, max_answers=1000, learnable=task,
         )
     train_ds, val_ds = get_dataset("train", root), get_dataset("val", root)
 
@@ -147,10 +154,11 @@ def main(epochs: int = 12) -> None:
         "delta_f8_pct_points": round(acc_f8 - acc_bf16, 3),
         "delta_int8_pct_points": round(acc_int8 - acc_bf16, 3),
         "int8_scales": [round(s, 4) for s in cfg_int8.image.quant_scales],
-        "corpus": f"learnable, {n_train} train / {n_val} val / "
+        "corpus": f"{tag}, {n_train} train / {n_val} val / "
                   f"{n_images} images @ {image_size}px, 1000 answers",
     }))
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 12)
+    args = [a for a in sys.argv[1:] if a != "--hard"]
+    main(int(args[0]) if args else 12, hard="--hard" in sys.argv)
