@@ -35,7 +35,13 @@ class QuietLogger:
     reach stderr (prefixed with the process index so interleaved output
     stays attributable). ``report_compiled_graph`` is deliberately NOT
     defined: the train loop feature-tests for it, and only the
-    coordinator should dump the StableHLO."""
+    coordinator should dump the StableHLO.
+
+    Bring-up escape hatch: ``DL_VQA_LOG_ALL_HOSTS=1`` makes every rank
+    emit its info-level writes too (still rank-prefixed) — when a pod
+    run wedges, the non-coordinators' progress lines are usually the
+    evidence (which rank stopped feeding batches, who missed a save
+    collective). Off by default so N-rank runs don't N-plicate logs."""
 
     exp_dir = None
     exp_name = None
@@ -43,11 +49,18 @@ class QuietLogger:
 
     def __init__(self, process_index: int = 0):
         self._prefix = f"[p{process_index}] "
+        self._verbose = bool(os.environ.get("DL_VQA_LOG_ALL_HOSTS"))
 
     def write(self, text, epoch=None, severity: str = "info"):
-        if severity == "warning":
+        if severity == "warning" or self._verbose:
             log = f"(EPOCH {epoch}) {text}" if epoch is not None else text
-            logging.getLogger(__name__).warning(self._prefix + str(log))
+            logger = logging.getLogger(__name__)
+            if severity == "warning":
+                logger.warning(self._prefix + str(log))
+            else:
+                # warning level keeps the line visible without the
+                # coordinator's handler/format configuration
+                logger.warning(self._prefix + "[info] " + str(log))
 
     def write_epoch_statistics(self, *a, **k): pass
     def report_scalar(self, *a, **k): pass

@@ -97,3 +97,24 @@ def test_same_second_loggers_get_distinct_dirs(tmp_path):
     finally:
         a.close()
         b.close()
+
+
+def test_quiet_logger_all_hosts_escape_hatch(monkeypatch, caplog):
+    """Non-coordinator writes are dropped by default (N ranks must not
+    N-plicate logs) but DL_VQA_LOG_ALL_HOSTS=1 surfaces info-level
+    writes rank-prefixed — the multi-host bring-up escape hatch."""
+    import logging as _logging
+
+    from dl_vqa_tpu.utils.logger import QuietLogger
+
+    monkeypatch.delenv("DL_VQA_LOG_ALL_HOSTS", raising=False)
+    with caplog.at_level(_logging.WARNING):
+        QuietLogger(process_index=3).write("step 7 done")
+    assert "step 7 done" not in caplog.text
+
+    monkeypatch.setenv("DL_VQA_LOG_ALL_HOSTS", "1")
+    with caplog.at_level(_logging.WARNING):
+        QuietLogger(process_index=3).write("step 7 done")
+        QuietLogger(process_index=2).write("bad thing", severity="warning")
+    assert "[p3] [info] step 7 done" in caplog.text
+    assert "[p2] bad thing" in caplog.text
