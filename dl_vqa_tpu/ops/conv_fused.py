@@ -546,6 +546,56 @@ def _fastgrad_fwd(x, w, b, stride):
     return pooled, (x, w, y, pooled)
 
 
+#: Pool-gradient routing strategy inside the fastgrad backward:
+#: 'scatter' — select_and_scatter on the saved relu output (the round-2
+#: default); 'phases' — 4-phase decomposition (conv+pool == per-window
+#: select over 4 stride-2 phase convs): first-max quadrant masks route
+#: POOLED-size cotangents straight into the phase convs' vjps, so the
+#: conv-size dz (3.2 GB at conv0/batch 512) is never materialized.
+#: Gradients are select_and_scatter-exact including first-max tie
+#: routing (asserted in tests/test_pallas.py). Default by measurement:
+#: experiments/probe_pool_bwd.py on v5e — see docs/PERF_NOTES.md
+#: "Train-step backward".
+POOL_BACKWARD = "scatter"
+
+_PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def _fastgrad_bwd_phases(stride, x, w, y, pooled, g_gated, db):
+    """4-phase dz-free backward (see POOL_BACKWARD; stride-1 only —
+    phase conv stride is 2*stride with offsets di*stride, kept simple
+    for the reference's stride-1 config)."""
+    hp, wp = pooled.shape[1], pooled.shape[2]
+    taken = jnp.zeros(pooled.shape, dtype=bool)
+    g_ks = []
+    for di, dj in _PHASES:
+        quad = y[:, di:di + 2 * hp:2, dj:dj + 2 * wp:2, :]
+        # First-max tie routing, row-major window order — exactly
+        # select_and_scatter's rule.
+        eq = (quad == pooled) & ~taken
+        taken = taken | eq
+        g_ks.append(jnp.where(eq, g_gated, 0).astype(y.dtype))
+
+    def phase_conv(x_, w_, di, dj):
+        out = jax.lax.conv_general_dilated(
+            x_[:, di:, dj:, :], w_.astype(x_.dtype),
+            window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out[:, :hp, :wp, :]
+
+    dx = jnp.zeros(x.shape, x.dtype)
+    dw = jnp.zeros(w.shape, jnp.float32)
+    for (di, dj), g_k in zip(_PHASES, g_ks):
+        _, vjp_k = jax.vjp(
+            lambda x_, w_, di=di, dj=dj: phase_conv(x_, w_, di, dj), x, w
+        )
+        dx_k, dw_k = vjp_k(g_k)
+        dx = dx + dx_k
+        dw = dw + dw_k.astype(jnp.float32)
+    return dx, dw.astype(w.dtype), db.astype(w.dtype)
+
+
 def _fastgrad_bwd(stride, residuals, g):
     x, w, y, pooled = residuals
 
@@ -554,6 +604,9 @@ def _fastgrad_bwd(stride, residuals, g):
     # over pooled-size tensors (1/4 of the conv output).
     g_gated = (g * (pooled > 0)).astype(y.dtype)
     db = g_gated.astype(jnp.float32).sum(axis=(0, 1, 2))
+
+    if POOL_BACKWARD == "phases" and stride == 1:
+        return _fastgrad_bwd_phases(stride, x, w, y, pooled, g_gated, db)
 
     # Maxpool backward via the pool's own VJP (select_and_scatter) on the
     # saved relu output — no rematerialization pass.

@@ -517,3 +517,45 @@ def test_model_store_dtype_config(rng):
     )
     with pytest.raises(ValueError, match="store_dtype"):
         vqa.apply(params, cfg_bad, images, questions, lengths, train=False)
+
+
+@pytest.mark.parametrize("h,w_", [(20, 20), (21, 23)])
+def test_phases_pool_backward_matches_scatter(h, w_, rng, monkeypatch):
+    """POOL_BACKWARD='phases' (4-phase dz-free routing) must reproduce
+    the scatter backward's gradients, including first-max TIE routing —
+    stressed with integer-valued inputs so windows contain exact
+    positive ties."""
+    from dl_vqa_tpu.ops import conv_fused
+    from dl_vqa_tpu.ops.conv_fused import conv_relu_pool_fastgrad
+
+    # Integer-valued tensors: conv outputs collide exactly -> real ties.
+    x = jnp.asarray(rng.integers(-2, 3, (3, h, w_, 5)), dtype=jnp.float32)
+    w = jnp.asarray(rng.integers(-1, 2, (3, 3, 5, 8)), dtype=jnp.float32)
+    b = jnp.asarray(rng.integers(-1, 2, (8,)), dtype=jnp.float32)
+    out = conv_relu_pool_fastgrad(x, w, b, 1)
+    cot = jnp.asarray(rng.standard_normal(out.shape), dtype=jnp.float32)
+
+    def grads():
+        return jax.grad(
+            lambda x_, w_, b_: (
+                conv_relu_pool_fastgrad(x_, w_, b_, 1) * cot
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(x, w, b)
+
+    monkeypatch.setattr(conv_fused, "POOL_BACKWARD", "scatter")
+    g_scatter = grads()
+    monkeypatch.setattr(conv_fused, "POOL_BACKWARD", "phases")
+    g_phases = grads()
+
+    # Misrouted ties would differ at O(cotangent); only summation-order
+    # rounding is allowed (4 phase convs vs 1, f32 accumulation).
+    for a, e, name in zip(g_phases, g_scatter, "x w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=1e-5, atol=1e-5,
+            err_msg=f"d{name} differs beyond rounding",
+        )
+
+    # Forward is shared (phases only restructure the backward).
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(
+        conv_relu_pool_fastgrad(x, w, b, 1)))
