@@ -34,7 +34,10 @@ def timed_ms(name, fn, *args, width: int = 34, verbose: bool = False):
         # xs are REAL jit parameters, not closure captures: a closed-over
         # array is embedded in the program as a lowering constant, which
         # at probe shapes (multi-GB tensors) stalls compilation and trips
-        # jax's captured-constants warning.
+        # jax's captured-constants warning. n is a TRACED scalar so the
+        # short and long runs share ONE compiled program — on relay-backed
+        # runtimes each compile RPC can cost minutes (round 5: 30-60 min
+        # under a degraded relay), so one program per probe matters.
         def body(i, acc):
             out = fn(*((xs[0] + acc.astype(xs[0].dtype) * 1e-30,)
                        + xs[1:]))
@@ -45,7 +48,7 @@ def timed_ms(name, fn, *args, width: int = 34, verbose: bool = False):
 
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    run = jax.jit(looped, static_argnums=0)
+    run = jax.jit(looped)
     if verbose:
         print(f"  {name}: compiling...", flush=True)
     float(run(SHORT_ITERS, *args))  # compile the shared loop body; warm
