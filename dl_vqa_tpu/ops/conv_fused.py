@@ -372,6 +372,96 @@ def relu_maxpool_pallas(y: jnp.ndarray, b: jnp.ndarray,
     )(y, bias2)
 
 
+def _relu_pool_direct_kernel(y_ref, b_ref, out_ref, *, bi, tr, wp,
+                             channels):
+    """[bi, 2tr, 2wp, C] -> [bi, tr, wp, C]. H-pool first (outer-dim
+    split — free under tiled layouts), then the W-pool's sub-tile split.
+    The [.., 2, C] minor pair pads to a full (sublane, lane) tile in
+    VMEM (2 -> 16, C=64 -> 128 for bf16 — a 16x inflation), so tr is
+    kept SMALL and bi recovers DMA efficiency batching images instead
+    of rows."""
+    x = y_ref[...].astype(jnp.float32) + b_ref[0]        # [bi,2tr,2wp,C]
+    x = jnp.maximum(x, 0.0).astype(out_ref.dtype)
+    m = x.reshape(bi, tr, 2, 2 * wp, channels).max(axis=2)   # H-pool
+    pooled = m.reshape(bi, tr, wp, 2, channels).max(axis=3)  # W-pool
+    out_ref[...] = pooled
+
+
+def relu_maxpool_pallas_direct(y: jnp.ndarray, b: jnp.ndarray,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Fused bias + ReLU + 2x2 maxpool, sub-tile reshapes IN-KERNEL.
+
+    The round-1 variant (:func:`relu_maxpool_pallas`) needed an XLA-side
+    W-pair merge that is a physical relayout (measured ~29 ms at the
+    conv0 shape — the round-1 Mosaic toolchain could not lower the
+    ``[.., W, C] -> [.., W/2, 2, C]`` sub-tile split for C=64). The
+    round-5 toolchain lowers that split (probe_mosaic_recheck), so this
+    variant pools directly on the unmodified conv output block: one HBM
+    read of y + one pooled write. Pool math matches the XLA reference
+    exactly (bias+relu in f32, cast to the storage dtype, THEN max —
+    same order as conv_relu_pool_reference).
+
+    STATUS: correct (exact parity on TPU) but a measured LOSS — 29.1 ms
+    vs XLA's 4.43 ms at the conv0 shape (v5e, round 5,
+    experiments/probe_mosaic_recheck.py). The sub-tile split now
+    LOWERS, but Mosaic materializes the [.., W/2, 2, C] intermediate
+    with its minor pair padded to a full (16, 128) tile — a 16x VMEM
+    inflation that forces tiny row chunks and thousands of grid steps.
+    XLA's reduce_window already runs AT the HBM traffic floor here;
+    kept as an experimental op for future toolchains.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, hc, wc, channels = y.shape
+    hp, wp = hc // 2, wc // 2
+    if hc != 2 * hp or wc != 2 * wp:
+        y = y[:, : 2 * hp, : 2 * wp, :]
+    bias = b.reshape(1, channels).astype(jnp.float32)
+
+    # tr bounds the padded W-pool intermediate ([bi, tr, wp, 2, C] pads
+    # its minor pair to a full tile); bi batches images per grid step so
+    # DMA transfers stay large despite the small tr.
+    tr = next(
+        (c for c in range(3, 0, -1) if hp % c == 0), 1
+    )
+    pad_unit = 16 * ((channels + 127) // 128 * 128)  # padded (2, C) tile
+    bi = 1
+    for cand in (16, 8, 4, 2, 1):
+        if batch % cand:
+            continue
+        padded = cand * tr * wp * pad_unit * y.dtype.itemsize
+        in_block = cand * 2 * tr * 2 * wp * channels * y.dtype.itemsize
+        if padded + 2 * in_block <= 10 * 1024 * 1024:
+            bi = cand
+            break
+
+    kernel = functools.partial(_relu_pool_direct_kernel, bi=bi, tr=tr,
+                               wp=wp, channels=channels)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // bi, hp // tr),
+        out_shape=jax.ShapeDtypeStruct((batch, hp, wp, channels), y.dtype),
+        in_specs=[
+            pl.BlockSpec((bi, 2 * tr, 2 * wp, channels),
+                         lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, channels), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bi, tr, wp, channels),
+                               lambda i, r: (i, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=y.size * 3,
+            bytes_accessed=y.size * y.dtype.itemsize
+            + batch * hp * wp * channels * y.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(y, bias)
+
+
 # --------------------------------------------- fused stem (conv+relu+pool)
 
 def _stem_kernel(p_ref, w2_ref, b4_ref, out_ref, *, kdim, cout, wp, wp_pad,

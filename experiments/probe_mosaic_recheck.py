@@ -117,7 +117,10 @@ def make_cases():
 
 def time_pool_variants():
     from experiments._timing import timed_ms
-    from dl_vqa_tpu.ops.conv_fused import relu_maxpool_pallas
+    from dl_vqa_tpu.ops.conv_fused import (
+        relu_maxpool_pallas,
+        relu_maxpool_pallas_direct,
+    )
 
     rng = np.random.default_rng(1)
     # conv0 output shape, batch 512, reference scale
@@ -133,13 +136,26 @@ def time_pool_variants():
         )
 
     a = jax.jit(xla_pool)(y, b)
-    p = jax.jit(relu_maxpool_pallas)(y, b)
-    err = float(jnp.max(jnp.abs(
-        a.astype(jnp.float32) - p.astype(jnp.float32)
-    )))
-    print(f"  parity xla vs pallas: max|d| {err:.2e}", flush=True)
+    for name, fn in (("merged", relu_maxpool_pallas),
+                     ("direct", relu_maxpool_pallas_direct)):
+        try:
+            p = jax.jit(fn)(y, b)
+        except Exception as exc:  # noqa: BLE001
+            print(f"  pallas {name}-pool: compile FAIL "
+                  f"({str(exc).splitlines()[0][:120]})", flush=True)
+            continue
+        err = float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - p.astype(jnp.float32)
+        )))
+        print(f"  parity xla vs pallas {name}: max|d| {err:.2e}",
+              flush=True)
     timed_ms("xla bias+relu+pool (conv0)", xla_pool, y, b)
     timed_ms("pallas merged-pool (conv0)", relu_maxpool_pallas, y, b)
+    # Loop perturbation on the SMALL operand: fusing the +eps producer
+    # into the kernel's big operand trips a compile-helper crash (its
+    # layout constraint vs the fused add's chosen layout).
+    timed_ms("pallas direct-pool (conv0)",
+             lambda b_, y_: relu_maxpool_pallas_direct(y_, b_), b, y)
 
 
 def main():

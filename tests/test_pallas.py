@@ -182,6 +182,22 @@ def test_relu_maxpool_kernel_matches_reference(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(2, 30, 30, 16), (3, 21, 23, 8)])
+def test_relu_maxpool_direct_kernel_matches_reference(rng, shape):
+    """The round-5 in-kernel sub-tile-split pool variant (measured LOSS
+    on v5e — kept experimental; see its docstring) must stay exact."""
+    from dl_vqa_tpu.ops.conv_fused import relu_maxpool_pallas_direct
+
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+    w = jnp.asarray(np.eye(c)[None, None] * 1.0, dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(c) * 0.1, dtype=jnp.float32)
+    ref = conv_relu_pool_reference(x, w, b, 1)
+    out = relu_maxpool_pallas_direct(x, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("stride,h,w_", [(1, 13, 15), (2, 14, 14),
                                          (1, 21, 21)])
 def test_fastgrad_conv_block_bit_identical_gradients(stride, h, w_, rng):
