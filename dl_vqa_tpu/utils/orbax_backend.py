@@ -113,19 +113,40 @@ def _abstract_like(leaf):
 def restore(path: str, template=None) -> Tuple[Any, Dict]:
     """Restore ``(state, meta)``. With ``template`` (a pytree of concrete
     arrays — possibly sharded over a mesh), the result matches its
-    structure, dtypes, and shardings; without, returns Orbax's raw nested
-    dict of host numpy arrays."""
+    structure, dtypes, and shardings; without, returns the raw nested
+    dict as HOST numpy arrays, ignoring the saved device shardings —
+    a template-less read must work from ANY topology (e.g. inspecting a
+    pod-written rolling checkpoint from a single-host tool; Orbax's
+    default restore replays the saved device ids and fails there)."""
     import jax
     import orbax.checkpoint as ocp
 
     ckptr = _ckptr()
     ckptr.wait_until_finished()
-    restore_arg = (
-        ocp.args.StandardRestore(
-            jax.tree_util.tree_map(_abstract_like, template)
-        )
-        if template is not None
-        else ocp.args.StandardRestore()
+    if template is None:
+        return _restore_host(path)
+    shardings = [
+        getattr(leaf, "sharding", None)
+        for leaf in jax.tree_util.tree_leaves(template)
+    ]
+    if not any(
+        isinstance(s, jax.sharding.NamedSharding) for s in shardings
+    ):
+        # Unsharded template (fresh-init params on one local device):
+        # match the npz backend's semantics — return HOST arrays and let
+        # the consumer (jit) place them. Restoring into the template's
+        # SingleDeviceSharding would COMMIT everything to one device,
+        # which breaks the next global-mesh step in multi-process runs
+        # (caught by test_multihost's orbax crash-recovery variant).
+        # Reassembly goes through the npz path-keyed unflatten (shape-
+        # checked, no leaf-order assumptions between orbax's dict tree
+        # and the template's custom pytree nodes).
+        from dl_vqa_tpu.utils import checkpoint as ckpt_mod
+
+        flat, meta = load_flat(path, sep=ckpt_mod._SEP)
+        return ckpt_mod._unflatten_into(template, flat), meta
+    restore_arg = ocp.args.StandardRestore(
+        jax.tree_util.tree_map(_abstract_like, template)
     )
     out = ckptr.restore(
         os.path.abspath(path),
@@ -133,6 +154,36 @@ def restore(path: str, template=None) -> Tuple[Any, Dict]:
                                 meta=ocp.args.JsonRestore()),
     )
     return out["state"], dict(out["meta"] or {})
+
+
+def _restore_host(path: str) -> Tuple[Any, Dict]:
+    """Topology-independent restore: every leaf comes back as plain host
+    ``np.ndarray`` via per-leaf ``RestoreArgs(restore_type=np.ndarray)``
+    built from the checkpoint's own tree metadata. (The
+    ``item_metadata.tree`` attribute is orbax-internal-ish; the orbax
+    version is pinned in this environment and the round-trip is covered
+    by tests/test_orbax_checkpoint.py.)"""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    base = os.path.abspath(path)
+    state_dir = os.path.join(base, "state")
+    ck = ocp.PyTreeCheckpointer()
+    tree = ck.metadata(state_dir).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree,
+        is_leaf=lambda x: hasattr(x, "shape"),
+    )
+    state = ck.restore(
+        state_dir, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+    )
+    meta: Dict = {}
+    meta_dir = os.path.join(base, "meta")
+    if os.path.isdir(meta_dir):
+        jck = ocp.Checkpointer(ocp.JsonCheckpointHandler())
+        meta = jck.restore(meta_dir) or {}
+    return state, dict(meta)
 
 
 def load_flat(path: str, sep: str = "|") -> Tuple[Dict, Dict]:

@@ -52,6 +52,11 @@ def main() -> None:
                          "(os._exit(1), no shutdown) right after its "
                          "first MID-EPOCH rolling checkpoint is durably "
                          "on disk — simulates losing one host of the pod")
+    ap.add_argument("--ckpt-backend", default="npz",
+                    choices=["npz", "orbax"],
+                    help="train-loop mode: rolling-checkpoint backend "
+                         "(orbax exercises the every-process collective "
+                         "save path in train/loop.py::_save_rolling)")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -198,6 +203,8 @@ def main() -> None:
                 ckpt_mod.save_checkpoint_async = tripwire
 
         class LoopLogger:
+            checkpoint_backend = args.ckpt_backend
+
             def __init__(self, exp_dir):
                 self.exp_dir = exp_dir
                 self.epoch_stats = []
@@ -235,8 +242,11 @@ def main() -> None:
         )
         ckpt_mod.wait_for_async_saves()
         multihost.barrier("train-loop-done")
+        last_name = (
+            "last.ckpt" if args.ckpt_backend == "npz" else "last.ckpt.orbax"
+        )
         flat, meta = ckpt_mod.load_checkpoint(
-            os.path.join(args.exp_dir, "last.ckpt")
+            os.path.join(args.exp_dir, last_name)
         )
         print(json.dumps({
             "pid": jax.process_index(),

@@ -270,16 +270,22 @@ def _launch_cluster(n_procs, local_devices, extra_args, timeout=420,
     return [outs[pid] for pid in sorted(outs)]
 
 
-def test_multihost_crash_recovery_resumes_exactly(tmp_path):
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_multihost_crash_recovery_resumes_exactly(tmp_path, backend):
     """VERDICT r4 item 4: lose one host of a 2-process pod mid-epoch
     (the coordinator hard-exits right after its first in-epoch rolling
     save lands), restart the whole job from last.ckpt, and the resumed
     trajectory — per-epoch metrics AND final full train state — must be
-    identical to an uninterrupted 2-process run."""
+    identical to an uninterrupted 2-process run. The orbax variant
+    drives the every-process collective save path in
+    train/loop.py::_save_rolling (npz gates on the coordinator with
+    host_snapshot mirroring instead)."""
     from dl_vqa_tpu.utils import checkpoint as ckpt
 
     loop_args = ["--train-loop", "--epochs", "2",
-                 "--checkpoint-every-steps", "2"]
+                 "--checkpoint-every-steps", "2",
+                 "--ckpt-backend", backend]
+    last_name = "last.ckpt" if backend == "npz" else "last.ckpt.orbax"
 
     def stats(run):  # drop wall-clock noise from the comparison
         return [
@@ -301,7 +307,7 @@ def test_multihost_crash_recovery_resumes_exactly(tmp_path):
         2, 4, loop_args + ["--exp-dir", crash_dir, "--kill-rank", "0"],
         expect_fail_ranks=(0,),
     )
-    last = os.path.join(crash_dir, "last.ckpt")
+    last = os.path.join(crash_dir, last_name)
     assert os.path.exists(last)
     _, meta = ckpt.load_checkpoint(last)
     assert meta.get("batch_in_epoch") == 2  # mid-epoch save, not end-of-epoch
