@@ -63,6 +63,11 @@ def _parse_value(raw: str) -> Any:
         # Bare '*', '-', etc. are YAML syntax errors; Hydra users mean the
         # literal string (e.g. train.attention.do_option=*).
         return raw
+    if value == "" and raw.strip() not in ("''", '""'):
+        # Anything else that PARSES to empty while typed non-empty (e.g.
+        # '!!str') means the literal; only genuinely-quoted empties
+        # become "" (Hydra/YAML semantics).
+        return raw
     # YAML 1.1 treats '5e-4' (no mantissa dot) as a string; Hydra users
     # expect a float. Only coerce when the input was UNQUOTED: an
     # explicitly quoted override (key='"2e5"') means the literal string.

@@ -123,15 +123,24 @@ def _hard_neighbor(answer: str, rng: random.Random) -> str:
     """A plausible annotator confusion for a hard-task answer: the
     adjacent hue bin / count / size class (disagreeing annotators pick
     neighbors, not arbitrary words — this is what spreads the soft
-    targets onto the confusable classes)."""
+    targets onto the confusable classes). At class-range boundaries the
+    step REFLECTS (0 -> 1, 8 -> 7, small -> medium) so edge classes get
+    the same effective disagreement rate as interior ones — a clamp
+    would silently return the main answer and raise edge-class
+    agreement above the documented 0.75."""
     step = rng.choice((-1, 1))
     if answer.startswith("hue"):
         return _HUE_NAMES[(int(answer[3:]) + step) % _HUE_BINS]
     if answer.isdigit():
-        return str(min(max(int(answer) + step, 0), _MAX_COUNT))
+        n = int(answer) + step
+        if n < 0 or n > _MAX_COUNT:
+            n = int(answer) - step
+        return str(n)
     if answer in _SIZE_NAMES:
-        i = _SIZE_NAMES.index(answer)
-        return _SIZE_NAMES[min(max(i + step, 0), len(_SIZE_NAMES) - 1)]
+        i = _SIZE_NAMES.index(answer) + step
+        if i < 0 or i >= len(_SIZE_NAMES):
+            i = _SIZE_NAMES.index(answer) - step
+        return _SIZE_NAMES[i]
     return answer
 
 
@@ -268,12 +277,21 @@ def generate_coco_images(
                 0.0, 26.0, size=(h, w, 3)
             )
             sq = max(4, int(round(attrs["render_size_frac"] * h)))
+            # Keep every square inside the region that SURVIVES the
+            # image pipeline's resize(short->256)/center-crop(224)
+            # (central_fraction 0.875, ref preprocess_images.py:10-11):
+            # visible source width = h * 0.875, height = h * 0.875 —
+            # otherwise border squares are cropped out and the count
+            # label stops being recoverable from the training pixels.
+            vis_w, vis_h = h * 0.875, h * 0.875
+            mx = max(1, int((w - vis_w) / 2) + 1)
+            my = max(1, int((h - vis_h) / 2) + 1)
             lay = np.random.default_rng(attrs["layout_seed"])
             for _ in range(attrs["count"]):
                 # random placement WITH possible overlap/abutment:
                 # occlusion makes counting genuinely hard
-                y0 = int(lay.integers(0, max(1, h - sq)))
-                x0 = int(lay.integers(0, max(1, w - sq)))
+                y0 = int(lay.integers(my, max(my + 1, h - my - sq)))
+                x0 = int(lay.integers(mx, max(mx + 1, w - mx - sq)))
                 arr[y0:y0 + sq, x0:x0 + sq] = float(lay.integers(110, 146))
             arr = np.clip(arr, 0, 255).astype(np.uint8)
         elif learnable:

@@ -408,7 +408,11 @@ def relu_maxpool_pallas_direct(y: jnp.ndarray, b: jnp.ndarray,
     with its minor pair padded to a full (16, 128) tile — a 16x VMEM
     inflation that forces tiny row chunks and thousands of grid steps.
     XLA's reduce_window already runs AT the HBM traffic floor here;
-    kept as an experimental op for future toolchains.
+    kept as an experimental op for future toolchains. Deliberately NOT
+    in any dispatch (the CLAUDE.md kernel convention's dispatch/gradient
+    requirements apply to shipped kernels): it is a forward-only eval op
+    — no custom VJP is defined, and differentiating through the raw
+    pallas_call raises rather than silently degrading.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -22,11 +22,22 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 def _platform_env() -> str:
     """Best-effort platform resolution WITHOUT initializing jax backends
     (enable() runs at import time): the explicit override, else
-    JAX_PLATFORMS. Returns '' when undetermined (e.g. plugin-forced TPU)."""
-    return (
+    JAX_PLATFORMS, else the jax config value (managed-TPU hosts set it
+    programmatically via sitecustomize — reading the config does not
+    initialize a backend). An undetermined result is treated as 'cpu':
+    the unconfigured case IS the plain CPU-only host, and namespacing a
+    TPU host's cache by mistake only costs a recompile, while sharing a
+    CPU host's cache by mistake costs silent wrong numbers."""
+    env = (
         os.environ.get("DL_VQA_PLATFORM")
         or os.environ.get("JAX_PLATFORMS", "")
     ).split(",")[0].strip().lower()
+    if env:
+        return env
+    import jax
+
+    cfg = (jax.config.jax_platforms or "").split(",")[0].strip().lower()
+    return cfg or "cpu"
 
 
 def _host_fingerprint() -> str:

@@ -32,6 +32,8 @@ def test_cpu_cache_is_host_namespaced(tmp_path, monkeypatch):
     cross-host/cross-flags entry executes incorrectly — observed as
     silent NaNs); the CPU backend therefore gets a per-host/per-flags
     subdirectory. TPU entries are target-keyed and shared at the root."""
+    import jax
+
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     monkeypatch.delenv("DL_VQA_PLATFORM", raising=False)
     base = str(tmp_path / "cache")
@@ -44,9 +46,16 @@ def test_cpu_cache_is_host_namespaced(tmp_path, monkeypatch):
     monkeypatch.setenv("XLA_FLAGS", "--xla_cpu_enable_fast_math=false")
     assert compile_cache.enable(base) != path
 
-    # A TPU-resolved platform keeps the shared root.
-    monkeypatch.setenv("DL_VQA_PLATFORM", "tpu")
-    assert compile_cache.enable(base) == os.path.abspath(base)
+    # A TPU-resolved platform keeps the shared root. enable() applies
+    # the DL_VQA_PLATFORM override to jax config as a side effect —
+    # restore it (monkeypatch only undoes the env var), or every later
+    # test in this process tries to initialize a 'tpu' backend.
+    platforms_before = jax.config.jax_platforms
+    try:
+        monkeypatch.setenv("DL_VQA_PLATFORM", "tpu")
+        assert compile_cache.enable(base) == os.path.abspath(base)
+    finally:
+        jax.config.update("jax_platforms", platforms_before)
 
 
 def test_platform_override_applies(monkeypatch):
