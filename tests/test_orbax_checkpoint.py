@@ -133,3 +133,31 @@ def test_logger_rejects_unknown_backend(tmp_path):
 
     with pytest.raises(ValueError):
         TrainLogger("bad", logs_dir=str(tmp_path), checkpoint_backend="hdf5")
+
+
+def test_ckpt_info_summarizes_both_backends(tmp_path, capsys):
+    """tools/ckpt_info.py reads npz and Orbax checkpoints (the latter via
+    the topology-independent host restore) and reports counts + meta."""
+    import os
+    import sys
+
+    tools_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import ckpt_info
+
+    params = {"lin": {"w": jnp.ones((4, 5)), "b": jnp.zeros(5)}}
+    state = create_train_state(params, make_optimizer(1e-3))
+    for name in ("a.ckpt", "b.ckpt.orbax"):
+        path = str(tmp_path / name)
+        ckpt.save_checkpoint(path, state, epoch=2)
+        ckpt.wait_for_async_saves()
+        info = ckpt_info.summarize(path)
+        assert info["param_count"] == 25
+        assert info["meta"]["epoch"] == 2
+        assert info["backend"] == ("npz" if name.endswith(".ckpt")
+                                   else "orbax")
+        out = capsys.readouterr().out
+        assert "param" in out and "meta.epoch" in out
