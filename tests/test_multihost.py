@@ -38,6 +38,20 @@ def _env():
     return env
 
 
+def _parse_worker_json(out: str) -> dict:
+    """Last JSON object on stdout. Gloo logs its connection summary to
+    stdout and can interleave AFTER the worker's result line, so scan
+    from the end for a line that actually parses."""
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    raise AssertionError(f"no JSON result line in worker output:\n{out}")
+
+
 def _run_worker(extra_args, timeout=420):
     env = _env()
     proc = subprocess.run(
@@ -47,7 +61,7 @@ def _run_worker(extra_args, timeout=420):
     assert proc.returncode == 0, (
         f"worker {extra_args} failed:\n{proc.stdout}\n{proc.stderr}"
     )
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    return _parse_worker_json(proc.stdout)
 
 
 @pytest.fixture(scope="module")
@@ -75,7 +89,7 @@ def runs():
                 q.kill()
             raise
         assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        outs.append(_parse_worker_json(out))
     return single, outs
 
 
@@ -167,7 +181,7 @@ def test_model_sharded_checkpoint_gathers_across_processes(tmp_path):
                 q.kill()
             raise
         assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        outs.append(_parse_worker_json(out))
     r0, r1 = outs
     # Both ranks loaded the file the coordinator wrote; its contents
     # equal the live (allgathered) state on every rank, full-size.
@@ -212,7 +226,7 @@ def test_device_image_cache_across_processes(layout):
                 q.kill()
             raise
         assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        outs.append(_parse_worker_json(out))
     r0, r1 = outs
     np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=0)
     np.testing.assert_allclose(
@@ -262,7 +276,7 @@ def _launch_cluster(n_procs, local_devices, extra_args, timeout=420,
             if expect_fail_ranks:
                 continue  # survivors' exit state is not under test
             assert p.returncode == 0, f"rank {pid} failed:\n{out}\n{err}"
-            outs[pid] = json.loads(out.strip().splitlines()[-1])
+            outs[pid] = _parse_worker_json(out)
     finally:
         for p in procs:
             if p.poll() is None:
