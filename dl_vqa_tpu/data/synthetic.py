@@ -251,6 +251,7 @@ def generate_coco_images(
     seed: int = 0,
     data_subtype: str = "train2014",
     learnable: "bool | str" = False,
+    central_fraction: float = 0.875,
 ) -> None:
     """Write random JPEGs with COCO filenames into ``image_dir``.
 
@@ -278,14 +279,14 @@ def generate_coco_images(
             )
             sq = max(4, int(round(attrs["render_size_frac"] * h)))
             # Keep every square inside the region that SURVIVES the
-            # image pipeline's resize(short->256)/center-crop(224)
-            # (central_fraction 0.875, ref preprocess_images.py:10-11):
-            # visible source width = h * 0.875, height = h * 0.875 —
+            # image pipeline's resize(short side -> size/central_fraction)
+            # + center-crop (ref preprocess_images.py:10-11): the visible
+            # source region is a central_fraction * min(h, w) square —
             # otherwise border squares are cropped out and the count
             # label stops being recoverable from the training pixels.
-            vis_w, vis_h = h * 0.875, h * 0.875
-            mx = max(1, int((w - vis_w) / 2) + 1)
-            my = max(1, int((h - vis_h) / 2) + 1)
+            vis = central_fraction * min(h, w)
+            mx = max(1, int((w - vis) / 2) + 1)
+            my = max(1, int((h - vis) / 2) + 1)
             lay = np.random.default_rng(attrs["layout_seed"])
             for _ in range(attrs["count"]):
                 # random placement WITH possible overlap/abutment:
@@ -375,6 +376,7 @@ def make_synthetic_corpus(
         generate_coco_images(
             os.path.join(root, subtype), image_ids,
             seed=seed, data_subtype=subtype, learnable=learnable,
+            central_fraction=central_fraction,
         )
         image_cache.preprocess_images(
             other_paths=profile["paths"],

@@ -77,13 +77,30 @@ def params_from_torch_state(state: Dict) -> Dict:
     return params
 
 
-def load_torch_checkpoint(path: str) -> Dict:
-    """Load a reference ``model.pth`` and return (params, epoch)."""
+def load_torch_blob(path: str):
+    """Load a reference ``.pth`` and split it into ``(state_dict, meta)``.
+
+    The reference saves ``{'epoch', 'model_state', 'optimizer_state'}``
+    (ref ``train_logger.py:95-112``); bare ``state_dict`` files are also
+    accepted (``meta`` is then empty). Single place for the blob
+    convention so the import bridge and tools/ckpt_info.py can't drift."""
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
-    state = blob["model_state"] if "model_state" in blob else blob
+    if isinstance(blob, dict) and "model_state" in blob:
+        meta = {
+            k: v for k, v in blob.items()
+            if k not in ("model_state", "optimizer_state")
+            and not hasattr(v, "keys")
+        }
+        return blob["model_state"], meta
+    return blob, {}
+
+
+def load_torch_checkpoint(path: str) -> Dict:
+    """Load a reference ``model.pth`` and return (params, epoch)."""
+    state, meta = load_torch_blob(path)
     return {
         "params": params_from_torch_state(state),
-        "epoch": blob.get("epoch") if isinstance(blob, dict) else None,
+        "epoch": meta.get("epoch"),
     }

@@ -23,29 +23,22 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from dl_vqa_tpu.utils.compile_cache import enable as _enable_compile_cache
-
-_enable_compile_cache()
-
 
 def _load(path: str):
     """Return (backend, flat {dotted: ndarray}, meta)."""
     import numpy as np
 
     if path.endswith((".pth", ".pt")):
-        import torch
+        # Pure-torch path: no jax import, no compile-cache setup needed.
+        from dl_vqa_tpu.utils.torch_import import load_torch_blob
 
-        blob = torch.load(path, map_location="cpu", weights_only=False)
-        state = blob.get("model_state", blob) if isinstance(blob, dict) \
-            else blob
-        meta = {
-            k: v for k, v in (blob.items() if isinstance(blob, dict) else ())
-            if k not in ("model_state", "optimizer_state")
-            and not hasattr(v, "keys")
-        }
+        state, meta = load_torch_blob(path)
         flat = {k: np.asarray(v) for k, v in state.items()}
         return "torch (.pth)", flat, meta
 
+    from dl_vqa_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
     from dl_vqa_tpu.utils import checkpoint as ckpt
 
     flat, meta = ckpt.load_checkpoint(path)
